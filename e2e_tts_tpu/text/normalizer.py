@@ -1,0 +1,202 @@
+"""Vietnamese text normalization.
+
+The reference delegates normalization to an external HTTP service and falls
+back to raw text when it is unreachable (reference: src/api/inference.py:14,
+28-33).  That service is not part of the repo, so this module provides an
+in-process normalizer with the same role: expand numbers, dates, percentages
+and common abbreviations into spoken Vietnamese words, and tidy punctuation
+so the G2P layer only ever sees phonemizable tokens.  An HTTP-backed
+normalizer with the reference's endpoint semantics is available for parity.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+# --- Vietnamese number reading -------------------------------------------
+
+_DIGITS = ["không", "một", "hai", "ba", "bốn", "năm", "sáu", "bảy", "tám", "chín"]
+_SCALES = ["", " nghìn", " triệu", " tỷ"]
+
+
+def _read_three(n: int, has_higher: bool) -> str:
+    """Read a 0..999 group. Applies the mốt/lăm/tư/linh sandhi rules."""
+    tram, rest = divmod(n, 100)
+    chuc, donvi = divmod(rest, 10)
+    parts = []
+    if tram or (has_higher and rest):
+        parts.append(_DIGITS[tram] + " trăm")
+    if chuc > 1:
+        parts.append(_DIGITS[chuc] + " mươi")
+        if donvi == 1:
+            parts.append("mốt")
+        elif donvi == 4:
+            parts.append("tư")
+        elif donvi == 5:
+            parts.append("lăm")
+        elif donvi:
+            parts.append(_DIGITS[donvi])
+    elif chuc == 1:
+        parts.append("mười")
+        if donvi == 5:
+            parts.append("lăm")
+        elif donvi:
+            parts.append(_DIGITS[donvi])
+    else:
+        if donvi:
+            if parts or has_higher:
+                parts.append("linh")
+            parts.append(_DIGITS[donvi])
+    return " ".join(parts)
+
+
+def number_to_words(n: int) -> str:
+    """Read a non-negative integer in Vietnamese."""
+    if n == 0:
+        return _DIGITS[0]
+    if n < 0:
+        return "âm " + number_to_words(-n)
+    groups = []
+    while n > 0:
+        groups.append(n % 1000)
+        n //= 1000
+    parts = []
+    for i in range(len(groups) - 1, -1, -1):
+        g = groups[i]
+        if g == 0:
+            continue
+        scale = _SCALES[i % 4] if i < 4 else ""
+        if i >= 4:  # beyond tỷ: recurse on billions
+            scale = " tỷ" * (i // 3)
+        words = _read_three(g, has_higher=i < len(groups) - 1)
+        parts.append(words + scale)
+    return " ".join(p for p in parts if p.strip())
+
+
+def decimal_to_words(s: str) -> str:
+    """Read "3,14" / "3.14" style decimals (phẩy = decimal comma)."""
+    m = re.match(r"^(\d+)[.,](\d+)$", s)
+    if not m:
+        return number_to_words(int(s))
+    whole, frac = m.groups()
+    frac_words = " ".join(_DIGITS[int(d)] for d in frac)
+    return f"{number_to_words(int(whole))} phẩy {frac_words}"
+
+
+def digits_to_words(s: str) -> str:
+    """Read a digit string one digit at a time (phone numbers, codes)."""
+    return " ".join(_DIGITS[int(d)] for d in s if d.isdigit())
+
+
+# --- token-level normalization ---------------------------------------------
+
+_ABBREVIATIONS = {
+    "tp": "thành phố",
+    "tp.": "thành phố",
+    "ts": "tiến sĩ",
+    "ts.": "tiến sĩ",
+    "gs": "giáo sư",
+    "gs.": "giáo sư",
+    "pgs": "phó giáo sư",
+    "ths": "thạc sĩ",
+    "bs": "bác sĩ",
+    "bs.": "bác sĩ",
+    "ubnd": "ủy ban nhân dân",
+    "thcs": "trung học cơ sở",
+    "thpt": "trung học phổ thông",
+    "vnd": "việt nam đồng",
+    "km": "ki lô mét",
+    "kg": "ki lô gam",
+    "cm": "xen ti mét",
+    "mm": "mi li mét",
+    "ml": "mi li lít",
+    "tv": "ti vi",
+    "%": "phần trăm",
+}
+
+_UNITS_RE = re.compile(r"^(\d+(?:[.,]\d+)?)(%|km|kg|cm|mm|ml|m|g|l)$", re.IGNORECASE)
+_DATE_RE = re.compile(r"^(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?$")
+_TIME_RE = re.compile(r"^(\d{1,2})[:h](\d{2})?$")
+_NUM_RE = re.compile(r"^-?\d+$")
+_DEC_RE = re.compile(r"^\d+[.,]\d+$")
+_THOUSANDS_RE = re.compile(r"^\d{1,3}(\.\d{3})+$")
+_LONG_DIGITS_RE = re.compile(r"^\d{10,}$")
+
+# Punctuation the downstream G2P understands (becomes <silent> / </s>).
+_KEEP_PUNCT = ",.!?;:"
+
+
+def _normalize_token(tok: str) -> str:
+    low = tok.lower()
+    if low in _ABBREVIATIONS:
+        return _ABBREVIATIONS[low]
+    m = _DATE_RE.match(tok)
+    if m:
+        d, mth, y = m.groups()
+        out = f"ngày {number_to_words(int(d))} tháng {number_to_words(int(mth))}"
+        if y:
+            out += f" năm {number_to_words(int(y))}"
+        return out
+    m = _TIME_RE.match(tok)
+    if m:
+        h, mnt = m.groups()
+        out = f"{number_to_words(int(h))} giờ"
+        if mnt and int(mnt):
+            out += f" {number_to_words(int(mnt))} phút"
+        return out
+    m = _UNITS_RE.match(tok)
+    if m:
+        num, unit = m.groups()
+        unit_words = _ABBREVIATIONS.get(unit.lower(), {"m": "mét", "g": "gam", "l": "lít"}.get(unit.lower(), unit))
+        return f"{decimal_to_words(num)} {unit_words}"
+    if _THOUSANDS_RE.match(tok):
+        return number_to_words(int(tok.replace(".", "")))
+    if _LONG_DIGITS_RE.match(tok):
+        return digits_to_words(tok)
+    if _NUM_RE.match(tok):
+        return number_to_words(int(tok))
+    if _DEC_RE.match(tok):
+        return decimal_to_words(tok)
+    return tok
+
+
+def normalize_text(text: str) -> str:
+    """Normalize raw Vietnamese text for the G2P frontend."""
+    # Separate kept punctuation into standalone tokens; drop the rest.
+    text = re.sub(r"[“”\"'()\[\]{}]", " ", text)
+    text = re.sub(r"\.{2,}", ".", text)
+    text = re.sub(rf"([{re.escape(_KEEP_PUNCT)}])", r" \1 ", text)
+    # But re-join decimal/date-internal separators split by the above:
+    text = re.sub(r"(\d) ([.,]) (\d)", r"\1\2\3", text)
+    tokens = text.split()
+    out = []
+    for tok in tokens:
+        if tok in _KEEP_PUNCT:
+            out.append("," if tok in ";:" else tok)
+            continue
+        norm = _normalize_token(tok)
+        out.append(norm)
+    result = " ".join(out)
+    return re.sub(r"\s+", " ", result).strip()
+
+
+class HttpNormalizer:
+    """Client for an external normalization endpoint with local fallback,
+    mirroring the reference's try/except-to-raw-text behavior
+    (src/api/inference.py:28-33)."""
+
+    def __init__(self, url: str, fallback: Callable[[str], str] = normalize_text,
+                 timeout: float = 3.0):
+        self.url = url
+        self.fallback = fallback
+        self.timeout = timeout
+
+    def __call__(self, text: str) -> str:
+        try:
+            import requests
+
+            r = requests.post(self.url, json={"text": text}, timeout=self.timeout)
+            return r.json()["result"]
+        except Exception:
+            return self.fallback(text)

@@ -1,0 +1,47 @@
+"""Text <-> symbol-id codec (reference: e2e_tts/models/g2p/__init__.py:11-57)."""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from .g2p import phonemize
+from .symbols import ID_TO_SYMBOL, SYMBOL_TO_ID
+
+_whitespace_re = re.compile(r"\s+")
+
+
+def _strip_stress(symbol: str) -> str:
+    # ARPAbet tags carry an optional trailing stress digit ("@AA1" -> "@AA").
+    if symbol.startswith("@") and symbol[-1].isdigit():
+        return symbol[:-1]
+    return symbol
+
+
+def phonemes_to_sequence(phonemes: List[str]) -> List[int]:
+    return [SYMBOL_TO_ID[_strip_stress(p)] for p in phonemes]
+
+
+def text_to_sequence(
+    text: str,
+    foreign_dict: Optional[Dict[str, dict]] = None,
+    return_boundary: bool = False,
+):
+    """Convert raw text to symbol ids via the Vietnamese G2P frontend.
+
+    Matches the reference ``text_to_sequence`` with the default
+    ``normalize_phonemes`` cleaner (g2p/__init__.py:11-31, cleaners.py:26-32):
+    lowercase, collapse whitespace, phonemize, map to ids.
+    """
+    text = _whitespace_re.sub(" ", text.lower()).strip()
+    phonemes, boundaries = phonemize(
+        text, foreign_dict, is_training=False, strict=False
+    )
+    seq = phonemes_to_sequence(phonemes)
+    if return_boundary:
+        return seq, boundaries
+    return seq
+
+
+def sequence_to_phonemes(sequence: List[int]) -> List[str]:
+    return [ID_TO_SYMBOL[int(i)] for i in sequence]

@@ -1,0 +1,28 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU platform so that multi-chip sharding
+paths (mesh/pjit/shard_map) are exercised without TPU hardware, per the
+framework's test strategy (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not mounted"
+)
