@@ -1,0 +1,157 @@
+"""FastSpeech2 acoustic model (supervised + unsupervised duration modes).
+
+One model covers the reference's two ~95%-identical trees
+(reference: e2e_tts/models/acoustic/{supervised,unsupervised}_fastspeech2/
+model.py): the duration source — MFA targets vs. the on-device aligner+MAS —
+is a config/argument switch, not a copy of the network.
+
+Encoder/decoder building blocks are selected from a registry by
+``building_block.block_type`` (reference model.py:24-33 uses conditional
+imports); every block family shares the (x, mask) -> x contract.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import FastSpeech2Config
+from ..nn.postnet import Postnet
+from ..nn.variance import FeatureStats, VarianceAdaptor
+from ..ops import sequence_mask
+from .blocks import build_decoder, build_encoder
+
+
+class FastSpeech2(nn.Module):
+    config: FastSpeech2Config
+    n_symbols: int
+    n_speakers: int
+    n_mel_channels: int
+    stats: FeatureStats
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = build_encoder(cfg, self.n_symbols, dtype=self.dtype)
+        self.decoder = build_decoder(cfg, dtype=self.dtype)
+
+        vp = cfg.variance.variance_predictor
+        ve = cfg.variance.variance_embedding
+        dm = cfg.variance.duration_modelling
+        self.variance_adaptor = VarianceAdaptor(
+            n_mel_channels=self.n_mel_channels,
+            hidden_dim=cfg.encoder_hidden,
+            stats=self.stats,
+            predictor_grad=vp.predictor_grad,
+            filter_size=vp.filter_size,
+            dropout=vp.dropout,
+            dur_layers=vp.dur_predictor_layers,
+            dur_kernel=vp.dur_predictor_kernel,
+            pit_layers=vp.pit_predictor_layers,
+            pit_kernel=vp.pit_predictor_kernel,
+            ener_layers=vp.ener_predictor_layers,
+            ener_kernel=vp.ener_predictor_kernel,
+            ffn_padding=vp.ffn_padding,
+            use_uv=ve.use_uv,
+            n_bins=ve.n_bins,
+            f0_bins=ve.f0_bins,
+            pitch_feature=ve.pitch_feature,
+            pitch_quantization=ve.pitch_quantization,
+            energy_feature=ve.energy_feature,
+            energy_quantization=ve.energy_quantization,
+            learn_alignment=dm.learn_alignment,
+            aligner_temperature=dm.aligner_temperature,
+            binarization_start_steps=dm.binarization_start_steps,
+            dtype=self.dtype,
+        )
+        self.mel_linear = nn.Dense(self.n_mel_channels, dtype=jnp.float32)
+        self.postnet = Postnet(
+            n_mel_channels=self.n_mel_channels,
+            embedding_dim=cfg.postnet.embedding_dim,
+            n_layers=cfg.postnet.conv_layers,
+            kernel_size=cfg.postnet.kernel_size,
+            dtype=jnp.float32,
+        )
+        self.speaker_emb = nn.Embed(self.n_speakers, cfg.encoder_hidden)
+
+    def __call__(
+        self,
+        speakers,               # (B,)
+        texts,                  # (B, L)
+        txt_lens,               # (B,)
+        max_mel_len: int,
+        mel=None,               # (B, T, n_mels) training target
+        mel_lens=None,
+        attn_prior=None,        # (B, T, L)
+        duration_target=None,   # (B, L) supervised mode
+        pitch_target=None,
+        energy_target=None,
+        step=None,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+        d_control: float = 1.0,
+        train: bool = False,
+    ):
+        txt_mask = sequence_mask(txt_lens, texts.shape[1])
+        x, txt_emb = self.encoder(texts, txt_mask, deterministic=not train)
+        spk = self.speaker_emb(speakers).astype(self.dtype)
+
+        va = self.variance_adaptor(
+            x,
+            txt_emb,
+            txt_lens,
+            txt_mask,
+            spk,
+            max_mel_len,
+            mel=mel,
+            mel_lens=mel_lens,
+            attn_prior=attn_prior,
+            duration_target=duration_target,
+            pitch_target=pitch_target,
+            energy_target=energy_target,
+            step=step,
+            p_control=p_control,
+            e_control=e_control,
+            d_control=d_control,
+            deterministic=not train,
+        )
+
+        dec, mel_mask = self.decoder(va["x"], va["mel_mask"], deterministic=not train)
+        mel_out = self.mel_linear(dec.astype(jnp.float32))
+        postnet_out = self.postnet(mel_out, train=train) + mel_out
+
+        return {
+            "mel": mel_out,
+            "postnet_mel": postnet_out,
+            "log_duration_prediction": va["log_duration_prediction"],
+            "duration_rounded": va["duration_rounded"],
+            "pitch_prediction": va["pitch_prediction"],
+            "energy_prediction": va["energy_prediction"],
+            "txt_mask": txt_mask,
+            "mel_lens": va["mel_lens"],
+            "mel_mask": mel_mask,
+            "attn_soft": va["attn_soft"],
+            "attn_hard": va["attn_hard"],
+            "attn_logprob": va["attn_logprob"],
+            "pitch_target": va["pitch_target"],
+            "energy_target": va["energy_target"],
+        }
+
+    def encode_and_predict(
+        self, speakers, texts, txt_lens, d_control: float = 1.0
+    ):
+        """Stage-1 serving entry: encoder + duration prediction only.
+
+        Lets the serving engine pick a mel-length bucket from the predicted
+        total duration before paying for the decoder (serve/engine.py).
+        """
+        txt_mask = sequence_mask(txt_lens, texts.shape[1])
+        x, txt_emb = self.encoder(texts, txt_mask, deterministic=True)
+        spk = self.speaker_emb(speakers).astype(self.dtype)
+        log_d = self.variance_adaptor.duration_predictor(
+            x + spk[:, None, :], txt_mask, True
+        )
+        durations = jnp.clip(jnp.round(jnp.exp(log_d) - 1.0) * d_control, min=0.0)
+        return durations * txt_mask

@@ -1,0 +1,85 @@
+"""Encoder/decoder building-block registry.
+
+The reference selects one of five block families by config string via
+conditional imports (reference: unsupervised_fastspeech2/model.py:24-33).
+Here each family registers an (encoder, decoder) factory with the shared
+contract:
+
+    encoder(token_ids, mask, deterministic) -> (x, raw_embeddings)
+    decoder(x, mask, deterministic) -> (x, mask)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+from ..config import FastSpeech2Config
+
+_ENCODERS: Dict[str, Callable] = {}
+_DECODERS: Dict[str, Callable] = {}
+
+
+def register_block(name: str, encoder_factory, decoder_factory):
+    _ENCODERS[name] = encoder_factory
+    _DECODERS[name] = decoder_factory
+
+
+def available_blocks():
+    return sorted(_ENCODERS)
+
+
+def build_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype=jnp.float32):
+    bt = cfg.building_block.block_type
+    if bt not in _ENCODERS:
+        raise ValueError(f"unknown block_type {bt!r}; have {available_blocks()}")
+    return _ENCODERS[bt](cfg, n_symbols, dtype)
+
+
+def build_decoder(cfg: FastSpeech2Config, dtype=jnp.float32):
+    bt = cfg.building_block.block_type
+    if bt not in _DECODERS:
+        raise ValueError(f"unknown block_type {bt!r}; have {available_blocks()}")
+    return _DECODERS[bt](cfg, dtype)
+
+
+# --- transformer (default) -------------------------------------------------
+
+
+def _transformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
+    from ..nn.transformer import TransformerEncoder
+
+    b = cfg.building_block.transformer
+    return TransformerEncoder(
+        n_symbols=n_symbols,
+        n_layers=cfg.encoder_layers,
+        d_model=cfg.encoder_hidden,
+        n_head=b.encoder_head,
+        d_inner=b.conv_filter_size,
+        kernel_sizes=tuple(b.conv_kernel_size),
+        dropout=b.encoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="encoder",
+    )
+
+
+def _transformer_decoder(cfg: FastSpeech2Config, dtype):
+    from ..nn.transformer import TransformerDecoder
+
+    b = cfg.building_block.transformer
+    return TransformerDecoder(
+        n_layers=cfg.decoder_layers,
+        d_model=cfg.decoder_hidden,
+        n_head=b.decoder_head,
+        d_inner=b.conv_filter_size,
+        kernel_sizes=tuple(b.conv_kernel_size),
+        dropout=b.decoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="decoder",
+    )
+
+
+register_block("transformer", _transformer_encoder, _transformer_decoder)
