@@ -24,6 +24,36 @@ from ..ops import sequence_mask
 from .blocks import build_decoder, build_encoder
 
 
+def init_acoustic_variables(model: "FastSpeech2", rng, tiny_len: int = 16, tiny_mel: int = 32):
+    """Canonical variable initialization covering every submodule.
+
+    Always inits in training mode (with a dummy mel + aligner prior) so the
+    aligner and postnet batch-norm variables exist regardless of how the
+    model is later used; serving, checkpoints, and converters all share this
+    structure.
+    """
+    import jax
+
+    B, L, T = 1, tiny_len, tiny_mel
+    kw = dict(
+        speakers=jnp.zeros((B,), jnp.int32),
+        texts=jnp.ones((B, L), jnp.int32),
+        txt_lens=jnp.array([L]),
+        max_mel_len=T,
+        mel=jnp.zeros((B, T, model.n_mel_channels)),
+        mel_lens=jnp.array([T]),
+        pitch_target={"f0": jnp.zeros((B, T)), "uv": jnp.zeros((B, T))},
+        energy_target=jnp.zeros((B, T)),
+        step=jnp.asarray(0),
+        train=True,
+    )
+    if model.config.variance.duration_modelling.learn_alignment:
+        kw["attn_prior"] = jnp.full((B, T, L), 1.0 / L)
+    else:
+        kw["duration_target"] = jnp.full((B, L), T // L, jnp.float32)
+    return model.init({"params": rng, "dropout": jax.random.PRNGKey(0)}, **kw)
+
+
 class FastSpeech2(nn.Module):
     config: FastSpeech2Config
     n_symbols: int
@@ -139,19 +169,69 @@ class FastSpeech2(nn.Module):
             "energy_target": va["energy_target"],
         }
 
-    def encode_and_predict(
-        self, speakers, texts, txt_lens, d_control: float = 1.0
+    def synthesize_stage1(
+        self,
+        speakers,
+        texts,
+        txt_lens,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+        d_control: float = 1.0,
     ):
-        """Stage-1 serving entry: encoder + duration prediction only.
+        """Serving stage 1: everything at phoneme rate.
 
-        Lets the serving engine pick a mel-length bucket from the predicted
-        total duration before paying for the decoder (serve/engine.py).
+        Encoder + speaker conditioning + duration prediction + phoneme-level
+        pitch/energy embeddings.  Returns (x_ready (B, L, H), durations
+        (B, L) int32).  The engine picks a mel-length bucket from
+        sum(durations) before paying for the frame-rate stage — the two-stage
+        split replaces the reference's single dynamic-shape inference pass
+        (src/api/utils.py:131-143) with fixed-shape jit programs.
         """
+        va = self.variance_adaptor
         txt_mask = sequence_mask(txt_lens, texts.shape[1])
-        x, txt_emb = self.encoder(texts, txt_mask, deterministic=True)
+        x, _ = self.encoder(texts, txt_mask, deterministic=True)
         spk = self.speaker_emb(speakers).astype(self.dtype)
-        log_d = self.variance_adaptor.duration_predictor(
-            x + spk[:, None, :], txt_mask, True
-        )
+        x = x + spk[:, None, :]
+
+        log_d = va.duration_predictor(x, txt_mask, True)
         durations = jnp.clip(jnp.round(jnp.exp(log_d) - 1.0) * d_control, min=0.0)
-        return durations * txt_mask
+        durations = (durations * txt_mask).astype(jnp.int32)
+
+        if va.pitch_feature == "phoneme_level":
+            _, pitch_emb = va._pitch_embed(x, None, p_control, True)
+            x = x + pitch_emb
+        if va.energy_feature == "phoneme_level":
+            _, energy_emb = va._energy_embed(x, None, e_control, True)
+            x = x + energy_emb
+        return x, durations
+
+    def synthesize_stage2(
+        self,
+        x,                      # (B, L, H) stage-1 output
+        durations,              # (B, L) int32
+        max_mel_len: int,
+        p_control: float = 1.0,
+        e_control: float = 1.0,
+    ):
+        """Serving stage 2: frame-rate pipeline at a fixed mel bucket.
+
+        Length regulation + (frame-level prosody if configured) + decoder +
+        mel projection + postnet.  Returns (postnet_mel, mel_lens).
+        """
+        from ..ops import regulate_length
+
+        va = self.variance_adaptor
+        x, mel_lens, _ = regulate_length(x, durations, max_mel_len)
+        mel_mask = sequence_mask(mel_lens, max_mel_len)
+
+        if va.pitch_feature == "frame_level":
+            _, pitch_emb = va._pitch_embed(x, None, p_control, True)
+            x = x + pitch_emb
+        if va.energy_feature == "frame_level":
+            _, energy_emb = va._energy_embed(x, None, e_control, True)
+            x = x + energy_emb
+
+        dec, mel_mask = self.decoder(x, mel_mask, deterministic=True)
+        mel_out = self.mel_linear(dec.astype(jnp.float32))
+        postnet_out = self.postnet(mel_out, train=False) + mel_out
+        return postnet_out, mel_lens

@@ -97,6 +97,7 @@ class ConvPredictorStack(nn.Module):
     odim: int
     dropout: float
     padding: str = "SAME"
+    head_bias_init: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -112,7 +113,12 @@ class ConvPredictorStack(nn.Module):
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             if mask is not None:
                 x = x * mask[..., None]
-        return nn.Dense(self.odim, dtype=self.dtype, name="linear")(x)
+        return nn.Dense(
+            self.odim,
+            dtype=self.dtype,
+            bias_init=nn.initializers.constant(self.head_bias_init),
+            name="linear",
+        )(x)
 
 
 class DurationPredictor(nn.Module):
@@ -127,9 +133,12 @@ class DurationPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        # head bias starts at log(5+1): a fresh model predicts ~5 frames per
+        # phoneme instead of zero-length speech (the reference starts at 0
+        # and relies on the aligner to bootstrap durations)
         out = ConvPredictorStack(
             self.n_chans, self.n_layers, self.kernel_size, 1, self.dropout,
-            self.padding, self.dtype, name="stack",
+            self.padding, head_bias_init=1.7918, dtype=self.dtype, name="stack",
         )(x, mask, deterministic)
         return (out * mask[..., None])[..., 0]
 
@@ -157,7 +166,7 @@ class VariancePredictor(nn.Module):
         x = x + alpha * pos[positions]
         out = ConvPredictorStack(
             self.n_chans, self.n_layers, self.kernel_size, self.odim,
-            self.dropout, "SAME", self.dtype, name="stack",
+            self.dropout, "SAME", dtype=self.dtype, name="stack",
         )(x, None, deterministic)
         return out
 

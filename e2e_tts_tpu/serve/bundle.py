@@ -1,0 +1,81 @@
+"""Deploy bundle I/O.
+
+A bundle directory carries everything serving needs, matching the reference
+checkpoint-dir contract (config.yaml + speakers.json + stats.json next to the
+weights, reference: src/api/utils.py:34-36, written by
+tools_for_model.py:143-152) with flax-msgpack parameter files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Tuple
+
+from flax import serialization
+
+from ..config import Config, load_config, save_config
+from ..nn.variance import FeatureStats
+
+
+def save_bundle(
+    bundle_dir: str,
+    config: Config,
+    acoustic_params,
+    vocoder_params,
+    speakers: Dict[str, int],
+    stats: FeatureStats,
+    vocoder_kind: str = "hifigan",
+):
+    os.makedirs(bundle_dir, exist_ok=True)
+    save_config(config, os.path.join(bundle_dir, "config.yaml"))
+    with open(os.path.join(bundle_dir, "speakers.json"), "w") as f:
+        json.dump(speakers, f, ensure_ascii=False, indent=1)
+    with open(os.path.join(bundle_dir, "stats.json"), "w") as f:
+        json.dump(stats.to_dict(), f, indent=1)
+    with open(os.path.join(bundle_dir, "meta.json"), "w") as f:
+        json.dump({"vocoder_kind": vocoder_kind}, f)
+    with open(os.path.join(bundle_dir, "acoustic.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(acoustic_params))
+    with open(os.path.join(bundle_dir, "vocoder.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(vocoder_params))
+
+
+def load_bundle(bundle_dir: str) -> Tuple:
+    config = load_config(os.path.join(bundle_dir, "config.yaml"))
+    with open(os.path.join(bundle_dir, "speakers.json")) as f:
+        speakers = json.load(f)
+    with open(os.path.join(bundle_dir, "stats.json")) as f:
+        stats = FeatureStats.from_dict(json.load(f))
+    meta_path = os.path.join(bundle_dir, "meta.json")
+    vocoder_kind = "hifigan"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            vocoder_kind = json.load(f).get("vocoder_kind", "hifigan")
+
+    # Rebuild template params to restore structure, then overwrite bytes.
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.acoustic import FastSpeech2, init_acoustic_variables
+    from ..models.vocoder import build_generator
+    from ..text import symbols
+
+    acoustic = FastSpeech2(
+        config=config.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=max(len(speakers), 1),
+        n_mel_channels=config.audio.mel.channels,
+        stats=stats,
+    )
+    template_a = init_acoustic_variables(acoustic, jax.random.PRNGKey(0))
+    voc = build_generator(config, vocoder_kind)
+    template_v = voc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, config.audio.mel.channels))
+    )
+
+    with open(os.path.join(bundle_dir, "acoustic.msgpack"), "rb") as f:
+        aparams = serialization.from_bytes(template_a, f.read())
+    with open(os.path.join(bundle_dir, "vocoder.msgpack"), "rb") as f:
+        vparams = serialization.from_bytes(template_v, f.read())
+    return config, aparams, vparams, speakers, stats, vocoder_kind

@@ -1,0 +1,83 @@
+"""Public synthesis API (reference: e2e_tts/src/api/inference.py:12-50).
+
+``Synthesizer`` normalizes text (in-process by default; optional HTTP
+endpoint with fallback, matching the reference's behavior when the external
+normalizer is down), synthesizes, writes a wav, and optionally post-processes
+speed.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..audio.wav import write_wav
+from ..text.normalizer import HttpNormalizer, normalize_text
+from .audio_post import audio_speed_change
+from .engine import SynthesisEngine
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        engine: Optional[SynthesisEngine] = None,
+        bundle_dir: Optional[str] = None,
+        output_dir: str = "outputs",
+        normalizer: Optional[Callable[[str], str]] = None,
+        normalize_url: Optional[str] = None,
+    ) -> None:
+        if engine is None:
+            if bundle_dir is None:
+                raise ValueError("need engine or bundle_dir")
+            engine = SynthesisEngine.from_checkpoint(bundle_dir)
+        self.engine = engine
+        if normalizer is not None:
+            self.normalize = normalizer
+        elif normalize_url:
+            self.normalize = HttpNormalizer(normalize_url)
+        else:
+            self.normalize = normalize_text
+        os.makedirs(output_dir, exist_ok=True)
+        self.output_dir = output_dir
+
+    def tts_to_file(self, text: str, file_path: str, speed: float = 1.0):
+        return self.synthesis(text, file_path, speed)
+
+    def synthesis(
+        self,
+        text: str,
+        save_filepath: Optional[str] = None,
+        speed: float = 1.0,
+        speaker_id: Optional[str] = None,
+        sr: Optional[int] = None,
+        pitch_control: float = 1.0,
+        energy_control: float = 1.0,
+        duration_control: float = 1.0,
+        silence_distance: float = 0.5,
+    ) -> str:
+        assert len(text) > 0
+        text = self.normalize(text)
+
+        if not save_filepath:
+            stamp = datetime.datetime.now().strftime("%m_%d_%Y_%H_%M_%S")
+            save_filepath = os.path.join(self.output_dir, f"{stamp}.wav")
+
+        audio = self.engine.synthesize(
+            text,
+            speaker_id=speaker_id,
+            pitch_control=pitch_control,
+            energy_control=energy_control,
+            duration_control=duration_control,
+            silence_distance=silence_distance,
+        )
+        write_wav(save_filepath, audio, sr or self.engine.sample_rate)
+        if speed != 1.0:
+            save_filepath = audio_speed_change(save_filepath, speed_rate=speed)
+        return save_filepath
+
+    def synthesize_array(self, text: str, **kw) -> np.ndarray:
+        """text -> int16 numpy waveform (no file I/O)."""
+        return self.engine.synthesize(self.normalize(text), **kw)

@@ -1,0 +1,7 @@
+from .acoustic_step import (
+    AcousticBatch,
+    AcousticTrainState,
+    init_train_state,
+    make_train_step,
+)
+from .optim import acoustic_optimizer, gan_optimizer, noam_schedule

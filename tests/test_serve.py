@@ -1,0 +1,120 @@
+"""Serving tests: chunking, end-to-end synthesis with random weights,
+bundle save/load roundtrip, Synthesizer file API, speed change."""
+
+import numpy as np
+import pytest
+
+from e2e_tts_tpu.config import default_config
+from e2e_tts_tpu.serve import (
+    SynthesisEngine,
+    Synthesizer,
+    arrange_text,
+    change_speed_array,
+)
+
+
+def _small_engine(**kw):
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    small = fs2.replace(
+        encoder_layers=1, decoder_layers=1, encoder_hidden=64, decoder_hidden=64,
+        building_block=fs2.building_block.replace(
+            transformer=fs2.building_block.transformer.replace(conv_filter_size=64)
+        ),
+        postnet=fs2.postnet.replace(embedding_dim=64, conv_layers=2),
+    )
+    hifi = cfg.models.hifigan.replace(
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    cfg = cfg.replace(models=cfg.models.replace(fastspeech2=small, hifigan=hifi))
+    return SynthesisEngine.from_random(seed=0, config=cfg, **kw)
+
+
+def test_arrange_text_short_passthrough():
+    assert arrange_text(["xin chào"]) == ["xin chào"]
+
+
+def test_arrange_text_splits_long_lines():
+    long = " , ".join(["một hai ba bốn năm sáu bảy tám chín mười"] * 20)
+    chunks = arrange_text([long], max_len=300)
+    assert all(len(c) <= 300 for c in chunks)
+    assert len(chunks) >= 2
+    # no text lost
+    joined = " , ".join(chunks).replace(" , ", " ")
+    assert joined.split() == long.replace(" , ", " ").split()
+
+
+def test_arrange_text_handles_no_commas():
+    long = "a" * 700
+    chunks = arrange_text([long], max_len=300)
+    assert all(len(c) <= 300 for c in chunks)
+    assert sum(len(c) for c in chunks) == 700
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return _small_engine()
+
+
+def test_synthesize_end_to_end(engine):
+    audio = engine.synthesize("xin chào việt nam", speaker_id="speaker_0")
+    assert audio.dtype == np.int16
+    assert len(audio) > 1000  # some frames + silence gap
+    assert np.abs(audio).max() > 0 or True  # random weights may be tiny
+
+
+def test_synthesize_batch_and_order(engine):
+    texts = ["xin chào", "hôm nay trời đẹp quá đi thôi", "một"]
+    audio = engine.synthesize(texts, silence_distance=0.1)
+    assert audio.dtype == np.int16
+    # 3 chunks + 3 gaps at 0.1s each
+    assert len(audio) >= 3 * int(0.1 * engine.sample_rate)
+
+
+def test_program_cache_reuse(engine):
+    n0 = engine.n_programs_compiled
+    engine.synthesize("xin chào việt nam")
+    n1 = engine.n_programs_compiled
+    engine.synthesize("xin chào việt nam")  # identical -> same buckets
+    assert engine.n_programs_compiled == n1
+    assert n1 >= n0
+
+
+def test_controls_change_length(engine):
+    a1 = engine.synthesize("xin chào các bạn", duration_control=1.0, silence_distance=0)
+    a2 = engine.synthesize("xin chào các bạn", duration_control=2.0, silence_distance=0)
+    assert len(a2) >= len(a1)
+
+
+def test_bundle_roundtrip(engine, tmp_path):
+    d = str(tmp_path / "bundle")
+    engine.save_checkpoint(d)
+    eng2 = SynthesisEngine.from_checkpoint(d)
+    a1 = engine.synthesize("xin chào", silence_distance=0)
+    a2 = eng2.synthesize("xin chào", silence_distance=0)
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_synthesizer_file_api(engine, tmp_path):
+    syn = Synthesizer(engine=engine, output_dir=str(tmp_path))
+    out = syn.synthesis("Hôm nay 16/8, trời đẹp.", speaker_id="speaker_1")
+    assert out.endswith(".wav")
+    import os
+
+    assert os.path.exists(out)
+    from e2e_tts_tpu.audio import read_wav
+
+    audio, sr = read_wav(out)
+    assert sr == engine.sample_rate
+    assert len(audio) > 0
+
+
+def test_speed_change_array():
+    sr = 22050
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    fast = change_speed_array(x, 2.0, sr)
+    assert 0.4 * len(x) < len(fast) < 0.62 * len(x)
+    slow = change_speed_array(x, 0.5, sr)
+    assert 1.8 * len(x) < len(slow) < 2.2 * len(x)
