@@ -1,0 +1,155 @@
+"""Training tests: Noam schedule math vs reference formula, acoustic step
+reduces loss, GAN vocoder step updates both nets, multichip dryrun."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_tts_tpu.config import default_config
+from e2e_tts_tpu.models import FastSpeech2, build_generator
+from e2e_tts_tpu.nn import FeatureStats
+from e2e_tts_tpu.text import symbols
+from e2e_tts_tpu.train import (
+    AcousticBatch,
+    VocoderBatch,
+    acoustic_optimizer,
+    gan_optimizer,
+    init_train_state,
+    init_vocoder_train_state,
+    make_train_step,
+    make_vocoder_train_step,
+    noam_schedule,
+)
+
+
+def test_noam_schedule_matches_reference_math():
+    """lr = d^-0.5 * min(s^-0.5, s * warmup^-1.5), x0.3 after milestones
+    (reference models/__init__.py:72-82)."""
+    sched = noam_schedule(384, 4000, (300000, 400000, 500000), 0.3)
+    for s in (1, 100, 4000, 10000, 350000, 450000, 600000):
+        ref = (384**-0.5) * min(s**-0.5, s * 4000**-1.5)
+        for m in (300000, 400000, 500000):
+            if s > m:
+                ref *= 0.3
+        assert abs(float(sched(s)) - ref) / ref < 1e-5, s
+
+
+def _tiny_cfg():
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    small = fs2.replace(
+        encoder_layers=1, decoder_layers=1, encoder_hidden=32, decoder_hidden=32,
+        building_block=fs2.building_block.replace(
+            transformer=fs2.building_block.transformer.replace(conv_filter_size=32)
+        ),
+        postnet=fs2.postnet.replace(embedding_dim=32, conv_layers=2),
+    )
+    hifi = cfg.models.hifigan.replace(
+        upsample_initial_channel=16,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    return cfg.replace(models=cfg.models.replace(fastspeech2=small, hifigan=hifi))
+
+
+def _acoustic_batch(B=2, L=8, T=24):
+    rng = np.random.RandomState(0)
+    return AcousticBatch(
+        speakers=jnp.zeros((B,), jnp.int32),
+        texts=jnp.asarray(rng.randint(4, len(symbols), (B, L)), jnp.int32),
+        txt_lens=jnp.full((B,), L, jnp.int32),
+        word_ids=jnp.asarray(np.minimum(np.arange(L) // 2, 3))[None].repeat(B, 0),
+        mel=jnp.asarray(rng.randn(B, T, 80) * 0.1, jnp.float32),
+        mel_lens=jnp.full((B,), T, jnp.int32),
+        attn_prior=jnp.full((B, T, L), 1.0 / L, jnp.float32),
+        duration_target=jnp.full((B, L), T // L, jnp.float32),
+        f0=jnp.asarray(rng.randn(B, T), jnp.float32),
+        uv=jnp.asarray((rng.rand(B, T) > 0.7), jnp.float32),
+        pitch=jnp.asarray(rng.randn(B, T), jnp.float32),
+        energy=jnp.asarray(np.abs(rng.randn(B, T)), jnp.float32),
+    )
+
+
+def test_acoustic_train_step_reduces_loss():
+    cfg = _tiny_cfg()
+    model = FastSpeech2(
+        config=cfg.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=2,
+        n_mel_channels=80,
+        stats=FeatureStats(),
+    )
+    opt = acoustic_optimizer(cfg.train.fastspeech2_optimizer, 32)
+    step_fn = jax.jit(make_train_step(model, cfg, opt, n_words=4))
+    state = init_train_state(model, opt, jax.random.PRNGKey(0))
+    batch = _acoustic_batch()
+
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        losses.append(float(metrics["total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_supervised_mode_train_step():
+    cfg = _tiny_cfg()
+    fs2 = cfg.models.fastspeech2
+    sup = fs2.replace(
+        variance=fs2.variance.replace(
+            duration_modelling=fs2.variance.duration_modelling.replace(
+                learn_alignment=False
+            )
+        )
+    )
+    cfg = cfg.replace(models=cfg.models.replace(fastspeech2=sup))
+    model = FastSpeech2(
+        config=cfg.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=2,
+        n_mel_channels=80,
+        stats=FeatureStats(),
+    )
+    opt = acoustic_optimizer(cfg.train.fastspeech2_optimizer, 32)
+    step_fn = jax.jit(make_train_step(model, cfg, opt, n_words=4))
+    state = init_train_state(model, opt, jax.random.PRNGKey(0))
+    state, metrics = step_fn(state, _acoustic_batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    assert "ctc" not in metrics  # no aligner in supervised mode
+
+
+def test_vocoder_gan_step():
+    cfg = _tiny_cfg()
+    gen = build_generator(cfg, "hifigan")
+    g_opt = gan_optimizer(cfg.train.hifigan_optimizer)
+    d_opt = gan_optimizer(cfg.train.hifigan_optimizer)
+    step_fn = jax.jit(make_vocoder_train_step(gen, cfg, g_opt, d_opt))
+    state = init_vocoder_train_state(
+        gen, cfg, g_opt, d_opt, jax.random.PRNGKey(0), segment_frames=16
+    )
+    rng = np.random.RandomState(0)
+    batch = VocoderBatch(
+        mel=jnp.asarray(rng.randn(2, 16, 80) * 0.1, jnp.float32),
+        audio=jnp.asarray(
+            0.1 * np.sin(2 * np.pi * 220 * np.arange(16 * 256) / 22050)[None].repeat(2, 0),
+            jnp.float32,
+        ),
+    )
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    state, metrics = step_fn(state, batch)
+    for k in ("d_total", "g_total", "g_mel", "g_fm", "g_adv"):
+        assert np.isfinite(float(metrics[k])), k
+    # both nets actually updated
+    g1 = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    state2, metrics2 = step_fn(state, batch)
+    assert np.isfinite(float(metrics2["g_total"]))
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
