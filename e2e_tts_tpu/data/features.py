@@ -1,0 +1,96 @@
+"""Per-utterance feature cache construction (preprocessing, host-side).
+
+Reference: src/tools/tools_for_data.py:80-213 writes sibling .npy caches
+(``mels/ f0/ pitch/ energy/``) next to each corpus's ``wavs/``; this module
+keeps the same on-disk layout so prepared corpora are interchangeable, but
+computes mels with the JAX pipeline (batched on the accelerator when
+available) and f0 with the native YIN extractor.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..audio import (
+    MelParams,
+    extract_f0,
+    extract_pitch,
+    mel_spectrogram,
+    read_wav,
+)
+from ..config import Config
+
+FEATURE_DIRS = ("mels", "f0", "pitch", "energy")
+
+
+def utterance_paths(wav_path: str) -> Dict[str, str]:
+    base = os.path.splitext(os.path.basename(wav_path))[0]
+    root = os.path.dirname(os.path.dirname(wav_path))
+    return {d: os.path.join(root, d, f"{base}.npy") for d in FEATURE_DIRS}
+
+
+def create_utterance_features(
+    wav_path: str,
+    config: Config,
+    overwrite: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Compute + cache mel/f0/pitch/energy for one utterance."""
+    paths = utterance_paths(wav_path)
+    if not overwrite and all(os.path.exists(p) for p in paths.values()):
+        return {k: np.load(p) for k, p in paths.items()}
+
+    audio, sr = read_wav(wav_path)
+    assert sr == config.audio.signal.sampling_rate, (wav_path, sr)
+    p = MelParams.from_config(config.audio)
+
+    mel, energy = mel_spectrogram(audio[None], p, return_energy=True)
+    mel = np.asarray(mel[0], np.float32)            # (n_mels, T)
+    energy = np.asarray(energy[0], np.float32)      # (T,)
+    mel_len = mel.shape[1]
+
+    f0 = extract_f0(audio, mel_len, sr, p.hop_length).astype(np.float32)
+    pitch = extract_pitch(audio, sr, p.hop_length)[:mel_len].astype(np.float32)
+    if len(pitch) < mel_len:
+        pitch = np.pad(pitch, (0, mel_len - len(pitch)), mode="edge")
+
+    out = {"mels": mel, "f0": f0, "pitch": pitch, "energy": energy}
+    for key, path in paths.items():
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.save(path, out[key])
+    return out
+
+
+def load_utterance_features(wav_path: str) -> Dict[str, np.ndarray]:
+    return {k: np.load(p) for k, p in utterance_paths(wav_path).items()}
+
+
+def compute_stats(
+    filelist_entries,
+    use_cached: bool = True,
+) -> Dict[str, Dict[str, float]]:
+    """Corpus statistics over pitch/f0/energy with IQR outlier removal
+    (reference: src/tools/dataloader.py:106-151)."""
+    from ..audio.features import remove_outliers
+
+    pitches, f0s, energies = [], [], []
+    for wav, *_ in filelist_entries:
+        feats = load_utterance_features(wav)
+        pitches.append(feats["pitch"])
+        f0s.append(feats["f0"][feats["f0"] > 0])
+        energies.append(feats["energy"])
+    pitch = remove_outliers(np.concatenate(pitches))
+    energy = remove_outliers(np.concatenate(energies))
+    f0 = np.concatenate(f0s) if f0s else np.zeros(1)
+
+    def d(x):
+        return {
+            "min": float(x.min()),
+            "max": float(x.max()),
+            "mean": float(x.mean()),
+            "std": float(x.std() + 1e-8),
+        }
+
+    return {"pitch": d(pitch), "energy": d(energy), "f0": d(f0)}

@@ -1,0 +1,167 @@
+"""Data pipeline tests: synthetic corpus -> filelist -> features -> stats ->
+bucketed batches -> one real train step."""
+
+import os
+
+import numpy as np
+import pytest
+
+from e2e_tts_tpu.audio.wav import write_wav
+from e2e_tts_tpu.config import default_config
+from e2e_tts_tpu.data import (
+    AcousticDataset,
+    VocoderDataset,
+    boundaries_to_word_ids,
+    build_speaker_map,
+    compute_stats,
+    create_unsupervised_filelist,
+    create_utterance_features,
+    make_acoustic_batches,
+    make_vocoder_batches,
+    read_filelist,
+    split_train_valid,
+)
+
+CFG = default_config()
+
+TRANSCRIPTS = [
+    ("utt0.wav", "spk_a", "xin chào việt nam"),
+    ("utt1.wav", "spk_a", "hôm nay trời đẹp quá"),
+    ("utt2.wav", "spk_b", "tôi thích nghe nhạc buổi sáng"),
+    ("utt3.wav", "spk_b", "cà phê sữa đá rất ngon"),
+    ("utt4.wav", "spk_a", "chúng ta cùng nhau học tập"),
+    ("utt5.wav", "spk_b", "mùa thu hà nội thật lãng mạn"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    wav_dir = root / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.RandomState(0)
+    sr = CFG.audio.signal.sampling_rate
+    rows = []
+    for fname, spk, text in TRANSCRIPTS:
+        dur_s = 0.7 + rng.rand()
+        t = np.arange(int(sr * dur_s))
+        f = 150 + 80 * rng.rand()
+        audio = 0.3 * np.sin(2 * np.pi * f * t / sr) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t / sr))
+        write_wav(str(wav_dir / fname), audio.astype(np.float32), sr)
+        rows.append(f"{fname}|{spk}|{text}")
+    (root / "metadata.csv").write_text("\n".join(rows), encoding="utf8")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def prepared(corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("lists")
+    filelist_path = str(out / "file_list.txt")
+    lines, skipped = create_unsupervised_filelist([corpus], filelist_path)
+    assert not skipped, skipped
+    entries = read_filelist(filelist_path)
+    for wav, *_ in entries:
+        create_utterance_features(wav, CFG)
+    stats = compute_stats(entries)
+    return entries, stats
+
+
+def test_filelist_format(prepared):
+    entries, _ = prepared
+    assert len(entries) == len(TRANSCRIPTS)
+    wav, spk, phonemes, bounds = entries[0]
+    assert wav.endswith(".wav") and spk == "spk_a"
+    assert sum(bounds) == len(phonemes)
+    assert phonemes[-1] == "</S>"
+
+
+def test_features_cached_and_aligned(prepared):
+    entries, _ = prepared
+    from e2e_tts_tpu.data import load_utterance_features
+
+    feats = load_utterance_features(entries[0][0])
+    T = feats["mels"].shape[1]
+    assert feats["mels"].shape[0] == 80
+    assert len(feats["f0"]) == T
+    assert len(feats["energy"]) == T
+    assert len(feats["pitch"]) >= T - 2
+
+
+def test_stats_reasonable(prepared):
+    _, stats = prepared
+    assert stats["f0"]["mean"] > 50
+    assert stats["energy"]["std"] > 0
+
+
+def test_boundaries_to_word_ids():
+    ids = boundaries_to_word_ids([3, 2, 4], 9)
+    assert ids.tolist() == [0, 0, 0, 1, 1, 2, 2, 2, 2]
+
+
+def test_bucketed_batches_and_train_step(prepared):
+    entries, stats = prepared
+    speaker_map = build_speaker_map(entries)
+    assert speaker_map == {"spk_a": 0, "spk_b": 1}
+
+    ds = AcousticDataset(entries, speaker_map, stats, CFG)
+    batches = list(make_acoustic_batches(ds, batch_size=4, seed=0))
+    assert batches
+    for b in batches:
+        B, L = b.texts.shape
+        assert B == 4
+        assert b.mel.shape[0] == 4 and b.mel.shape[2] == 80
+        assert (b.txt_lens >= 1).all()
+        # prior rows populated within (mel_len, txt_len)
+        i = int(np.argmax(b.txt_lens))
+        assert b.attn_prior[i, : b.mel_lens[i], : b.txt_lens[i]].sum() > 0
+
+    # one real training step on a tiny model over this data
+    import jax
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.models import FastSpeech2
+    from e2e_tts_tpu.nn import FeatureStats
+    from e2e_tts_tpu.text import symbols
+    from e2e_tts_tpu.train import acoustic_optimizer, init_train_state, make_train_step
+
+    cfg = CFG
+    fs2 = cfg.models.fastspeech2.replace(
+        encoder_layers=1, decoder_layers=1, encoder_hidden=32, decoder_hidden=32,
+        building_block=cfg.models.fastspeech2.building_block.replace(
+            transformer=cfg.models.fastspeech2.building_block.transformer.replace(
+                conv_filter_size=32
+            )
+        ),
+        postnet=cfg.models.fastspeech2.postnet.replace(embedding_dim=32, conv_layers=2),
+    )
+    cfg = cfg.replace(models=cfg.models.replace(fastspeech2=fs2))
+    model = FastSpeech2(
+        config=cfg.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=len(speaker_map),
+        n_mel_channels=80,
+        stats=FeatureStats.from_dict(stats),
+    )
+    opt = acoustic_optimizer(cfg.train.fastspeech2_optimizer, 32)
+    step_fn = jax.jit(make_train_step(model, cfg, opt, n_words=int(batches[0].word_ids.max()) + 1))
+    state = init_train_state(model, opt, jax.random.PRNGKey(0))
+    b = jax.tree_util.tree_map(jnp.asarray, batches[0])
+    state, metrics = step_fn(state, b, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+
+
+def test_split_train_valid(prepared):
+    entries, _ = prepared
+    train, valid = split_train_valid(entries, n_valid=50)
+    assert len(train) + len(valid) == len(entries)
+    assert len(valid) >= 1
+
+
+def test_vocoder_batches(prepared):
+    entries, _ = prepared
+    ds = VocoderDataset(entries, CFG, segment_size=2048)
+    batches = list(make_vocoder_batches(ds, batch_size=2, seed=0))
+    assert batches
+    for b in batches:
+        assert b.mel.shape == (2, 2048 // 256, 80)
+        assert b.audio.shape == (2, 2048)
