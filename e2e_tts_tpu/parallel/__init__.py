@@ -1,2 +1,2 @@
-from .mesh import make_mesh
+from .mesh import make_data_mesh, make_mesh
 from .sharding import batch_sharding, param_sharding_rules, shard_params, shard_batch

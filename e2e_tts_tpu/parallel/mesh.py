@@ -34,3 +34,12 @@ def make_mesh(
         raise ValueError(f"model_parallel={model_parallel} must divide {n}")
     grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, axis_names)
+
+
+def make_data_mesh(batch_size: int, model_parallel: int = 1) -> Mesh:
+    """Mesh whose data axis divides ``batch_size`` (shrinks to fit)."""
+    avail = len(jax.devices()) // model_parallel
+    n_data = max(
+        (d for d in range(1, avail + 1) if batch_size % d == 0), default=1
+    )
+    return make_mesh(n_data * model_parallel, model_parallel=model_parallel)

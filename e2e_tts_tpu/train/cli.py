@@ -1,0 +1,336 @@
+"""Training drivers.
+
+The reference ships losses/optimizers/dataloaders but no train script
+(SURVEY.md §0 — confirmed absent); these drivers complete the stack:
+
+    python train.py prepare  --corpus DIR [...] --workdir OUT
+    python train.py acoustic --workdir OUT [--steps N] [--supervised]
+    python train.py vocoder  --workdir OUT [--steps N] [--istft]
+
+Training runs data-parallel over all visible devices via a (data, model)
+mesh; checkpoints are orbax-managed and the deploy bundle is written on
+completion so serving can load the result directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cmd_prepare(args):
+    from ..config import default_config, load_config
+    from ..data import (
+        build_speaker_map,
+        compute_stats,
+        create_unsupervised_filelist,
+        create_supervised_filelist,
+        create_utterance_features,
+        read_filelist,
+    )
+
+    config = load_config(args.config) if args.config else default_config()
+    os.makedirs(args.workdir, exist_ok=True)
+    filelist = os.path.join(args.workdir, "file_list.txt")
+
+    if args.supervised:
+        create_supervised_filelist(args.corpus, filelist)
+    else:
+        _, skipped = create_unsupervised_filelist(args.corpus, filelist)
+        if skipped:
+            print(f"[prepare] skipped {len(skipped)} OOV utterances")
+
+    entries = read_filelist(filelist)
+    t0 = time.time()
+    for i, (wav, *_rest) in enumerate(entries):
+        create_utterance_features(wav, config, overwrite=args.overwrite)
+        if (i + 1) % 100 == 0:
+            print(f"[prepare] features {i + 1}/{len(entries)} ({time.time() - t0:.0f}s)")
+
+    stats = compute_stats(entries)
+    with open(os.path.join(args.workdir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    speakers = build_speaker_map(entries)
+    with open(os.path.join(args.workdir, "speakers.json"), "w") as f:
+        json.dump(speakers, f, ensure_ascii=False, indent=1)
+    print(f"[prepare] {len(entries)} utterances, {len(speakers)} speakers -> {args.workdir}")
+
+
+def _load_workdir(workdir: str):
+    from ..data import read_filelist
+
+    entries = read_filelist(os.path.join(workdir, "file_list.txt"))
+    with open(os.path.join(workdir, "stats.json")) as f:
+        stats = json.load(f)
+    with open(os.path.join(workdir, "speakers.json")) as f:
+        speakers = json.load(f)
+    return entries, stats, speakers
+
+
+def cmd_acoustic(args):
+    from ..config import default_config, load_config
+    from ..data import AcousticDataset, make_acoustic_batches, split_train_valid
+    from ..models import FastSpeech2
+    from ..nn import FeatureStats
+    from ..parallel import batch_sharding, make_data_mesh, param_sharding_rules
+    from ..text import symbols
+    from ..train import acoustic_optimizer, init_train_state, make_train_step
+    from ..train.checkpoint import CheckpointManager
+    from ..utils.logging import AcousticLogger
+    from .optim import noam_schedule
+
+    config = load_config(args.config) if args.config else default_config()
+    if args.supervised:
+        fs2 = config.models.fastspeech2
+        config = config.replace(
+            models=config.models.replace(
+                fastspeech2=fs2.replace(
+                    variance=fs2.variance.replace(
+                        duration_modelling=fs2.variance.duration_modelling.replace(
+                            learn_alignment=False
+                        )
+                    )
+                )
+            )
+        )
+
+    entries, stats, speakers = _load_workdir(args.workdir)
+    train_entries, valid_entries = split_train_valid(entries, seed=config.train.seed)
+    dataset = AcousticDataset(
+        train_entries,
+        speakers,
+        stats,
+        config,
+        supervised=args.supervised,
+        prior_cache_dir=os.path.join(args.workdir, "priors"),
+    )
+
+    model = FastSpeech2(
+        config=config.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=len(speakers),
+        n_mel_channels=config.audio.mel.channels,
+        stats=FeatureStats.from_dict(stats),
+    )
+    optimizer = acoustic_optimizer(
+        config.train.fastspeech2_optimizer, config.models.fastspeech2.encoder_hidden
+    )
+    schedule = noam_schedule(
+        config.models.fastspeech2.encoder_hidden,
+        config.train.fastspeech2_optimizer.warm_up_step,
+        config.train.fastspeech2_optimizer.anneal_steps,
+        config.train.fastspeech2_optimizer.anneal_rate,
+    )
+    n_words = max(config.models.fastspeech2.max_seq_len, 256)
+    train_step = jax.jit(make_train_step(model, config, optimizer, n_words=n_words))
+
+    mesh = make_data_mesh(config.train.batch_size)
+    data_sh = batch_sharding(mesh)
+
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(config.train.seed))
+    ckpt = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"[acoustic] resumed from step {int(state.step)}")
+    state = state._replace(
+        params=jax.device_put(state.params, param_sharding_rules(state.params, mesh))
+    )
+
+    logger = AcousticLogger(os.path.join(args.workdir, "logs", "acoustic"))
+    rng = jax.random.PRNGKey(config.train.seed)
+    step = int(state.step)
+    epoch = 0
+    t0 = time.time()
+    with mesh:
+        while step < args.steps:
+            for batch in make_acoustic_batches(
+                dataset, config.train.batch_size, seed=config.train.seed + epoch
+            ):
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(jnp.asarray(x), data_sh), batch
+                )
+                rng, sub = jax.random.split(rng)
+                state, metrics = train_step(state, batch, sub)
+                step = int(state.step)
+                if step % config.train.log_step == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    logger.log(step, m, lr=float(schedule(step)))
+                    print(
+                        f"[acoustic] step {step} total={m['total']:.4f} "
+                        f"mel={m['mel']:.4f} ({time.time() - t0:.0f}s)"
+                    )
+                if step % args.ckpt_every == 0:
+                    ckpt.save(step, jax.device_get(state))
+                if step >= args.steps:
+                    break
+            epoch += 1
+    ckpt.save(step, jax.device_get(state), wait=True)
+    print(f"[acoustic] done at step {step}")
+
+
+def cmd_vocoder(args):
+    from ..config import default_config, load_config
+    from ..data import VocoderDataset, make_vocoder_batches, split_train_valid
+    from ..models import build_generator
+    from ..train import (
+        gan_optimizer,
+        init_vocoder_train_state,
+        make_vocoder_train_step,
+    )
+    from ..train.checkpoint import CheckpointManager
+    from ..utils.logging import ScalarWriter
+
+    config = load_config(args.config) if args.config else default_config()
+    entries, stats, speakers = _load_workdir(args.workdir)
+    train_entries, _ = split_train_valid(entries, seed=config.train.seed)
+
+    kind = "istft" if args.istft else "hifigan"
+    gen = build_generator(config, kind)
+    g_opt = gan_optimizer(config.train.hifigan_optimizer)
+    d_opt = gan_optimizer(config.train.hifigan_optimizer)
+    step_fn = jax.jit(make_vocoder_train_step(gen, config, g_opt, d_opt, kind))
+    state = init_vocoder_train_state(gen, config, g_opt, d_opt, jax.random.PRNGKey(0))
+
+    ckpt = CheckpointManager(os.path.join(args.workdir, f"vocoder_{kind}_ckpt"))
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"[vocoder] resumed from step {int(state.step)}")
+
+    mel_dir = "predicted_mels" if args.predicted_mels else "mels"
+    dataset = VocoderDataset(
+        train_entries, config,
+        segment_size=config.audio.signal.segment_length // 4,
+        mel_dir=mel_dir,
+    )
+    writer = ScalarWriter(os.path.join(args.workdir, "logs", f"vocoder_{kind}"))
+
+    step = int(state.step)
+    epoch = 0
+    t0 = time.time()
+    while step < args.steps:
+        for batch in make_vocoder_batches(
+            dataset, config.train.batch_size // 2, seed=epoch
+        ):
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            state, metrics = step_fn(state, batch)
+            step = int(state.step)
+            if step % config.train.log_step == 0:
+                for k, v in metrics.items():
+                    writer.scalar(f"vocoder/{k}", float(v), step)
+                print(
+                    f"[vocoder] step {step} g={float(metrics['g_total']):.3f} "
+                    f"d={float(metrics['d_total']):.3f} ({time.time() - t0:.0f}s)"
+                )
+            if step % args.ckpt_every == 0:
+                ckpt.save(step, jax.device_get(state))
+            if step >= args.steps:
+                break
+        epoch += 1
+    ckpt.save(step, jax.device_get(state), wait=True)
+    print(f"[vocoder] done at step {step}")
+
+
+def cmd_export(args):
+    """Write the serving bundle from trained checkpoints."""
+    from ..config import default_config, load_config
+    from ..models import FastSpeech2, build_generator
+    from ..nn import FeatureStats
+    from ..serve.bundle import save_bundle
+    from ..text import symbols
+    from ..train import (
+        acoustic_optimizer,
+        gan_optimizer,
+        init_train_state,
+        init_vocoder_train_state,
+    )
+    from ..train.checkpoint import CheckpointManager
+
+    config = load_config(args.config) if args.config else default_config()
+    entries, stats, speakers = _load_workdir(args.workdir)
+
+    from ..nn.variance import FeatureStats as FS
+
+    model = FastSpeech2(
+        config=config.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=len(speakers),
+        n_mel_channels=config.audio.mel.channels,
+        stats=FS.from_dict(stats),
+    )
+    optimizer = acoustic_optimizer(
+        config.train.fastspeech2_optimizer, config.models.fastspeech2.encoder_hidden
+    )
+    a_state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
+    a_ckpt = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
+    a_state = a_ckpt.restore(a_state)
+
+    kind = "istft" if args.istft else "hifigan"
+    gen = build_generator(config, kind)
+    g_opt = gan_optimizer(config.train.hifigan_optimizer)
+    v_state = init_vocoder_train_state(gen, config, g_opt, g_opt, jax.random.PRNGKey(0))
+    v_ckpt = CheckpointManager(os.path.join(args.workdir, f"vocoder_{kind}_ckpt"))
+    v_state = v_ckpt.restore(v_state)
+
+    from ..models.vocoder import fuse_weight_norm
+
+    save_bundle(
+        args.output,
+        config,
+        {"params": a_state.params, "batch_stats": a_state.batch_stats},
+        fuse_weight_norm(v_state.g_params),
+        speakers,
+        FS.from_dict(stats),
+        kind,
+    )
+    print(f"[export] bundle -> {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="train.py")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("prepare")
+    pp.add_argument("--corpus", nargs="+", required=True)
+    pp.add_argument("--workdir", required=True)
+    pp.add_argument("--config")
+    pp.add_argument("--supervised", action="store_true")
+    pp.add_argument("--overwrite", action="store_true")
+    pp.set_defaults(fn=cmd_prepare)
+
+    pa = sub.add_parser("acoustic")
+    pa.add_argument("--workdir", required=True)
+    pa.add_argument("--config")
+    pa.add_argument("--steps", type=int, default=600000)
+    pa.add_argument("--ckpt-every", type=int, default=5000)
+    pa.add_argument("--supervised", action="store_true")
+    pa.set_defaults(fn=cmd_acoustic)
+
+    pv = sub.add_parser("vocoder")
+    pv.add_argument("--workdir", required=True)
+    pv.add_argument("--config")
+    pv.add_argument("--steps", type=int, default=400000)
+    pv.add_argument("--ckpt-every", type=int, default=5000)
+    pv.add_argument("--istft", action="store_true")
+    pv.add_argument("--predicted-mels", action="store_true")
+    pv.set_defaults(fn=cmd_vocoder)
+
+    pe = sub.add_parser("export")
+    pe.add_argument("--workdir", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--config")
+    pe.add_argument("--istft", action="store_true")
+    pe.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
