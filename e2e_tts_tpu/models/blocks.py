@@ -83,3 +83,175 @@ def _transformer_decoder(cfg: FastSpeech2Config, dtype):
 
 
 register_block("transformer", _transformer_encoder, _transformer_decoder)
+
+
+# --- conformer ---------------------------------------------------------------
+
+
+def _conformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
+    from ..nn.conformer import ConformerEncoder
+
+    b = cfg.building_block.conformer
+    return ConformerEncoder(
+        n_symbols=n_symbols,
+        n_layers=cfg.encoder_layers,
+        d_model=cfg.encoder_hidden,
+        n_head=b.encoder_head,
+        ffn_expansion=b.ffn_expansion_factor,
+        conv_kernel=b.conv_kernel_size,
+        conv_expansion=b.conv_expansion_factor,
+        half_step_residual=b.half_step_residual,
+        dropout=b.encoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="encoder",
+    )
+
+
+def _conformer_decoder(cfg: FastSpeech2Config, dtype):
+    from ..nn.conformer import ConformerDecoder
+
+    b = cfg.building_block.conformer
+    return ConformerDecoder(
+        n_layers=cfg.decoder_layers,
+        d_model=cfg.decoder_hidden,
+        n_head=b.decoder_head,
+        ffn_expansion=b.ffn_expansion_factor,
+        conv_kernel=b.conv_kernel_size,
+        conv_expansion=b.conv_expansion_factor,
+        half_step_residual=b.half_step_residual,
+        dropout=b.decoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="decoder",
+    )
+
+
+register_block("conformer", _conformer_encoder, _conformer_decoder)
+
+
+# --- fastformer --------------------------------------------------------------
+
+
+def _fastformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
+    from ..nn.fastformer import FastformerEncoder
+
+    b = cfg.building_block.fastformer
+    return FastformerEncoder(
+        n_symbols=n_symbols,
+        n_layers=cfg.encoder_layers,
+        d_model=cfg.encoder_hidden,
+        n_head=b.encoder_head,
+        d_inner=b.conv_filter_size,
+        kernel_sizes=tuple(b.conv_kernel_size),
+        dropout=b.encoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="encoder",
+    )
+
+
+def _fastformer_decoder(cfg: FastSpeech2Config, dtype):
+    from ..nn.fastformer import FastformerDecoder
+
+    b = cfg.building_block.fastformer
+    return FastformerDecoder(
+        n_layers=cfg.decoder_layers,
+        d_model=cfg.decoder_hidden,
+        n_head=b.decoder_head,
+        d_inner=b.conv_filter_size,
+        kernel_sizes=tuple(b.conv_kernel_size),
+        dropout=b.decoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="decoder",
+    )
+
+
+register_block("fastformer", _fastformer_encoder, _fastformer_decoder)
+
+
+# --- long-short transformer --------------------------------------------------
+
+
+def _lst_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
+    from ..nn.lstransformer import LSTransformerEncoder
+
+    b = cfg.building_block.lstransformer
+    return LSTransformerEncoder(
+        n_symbols=n_symbols,
+        n_layers=cfg.encoder_layers,
+        d_model=cfg.encoder_hidden,
+        n_head=b.encoder_head,
+        d_inner=b.conv_filter_size,
+        kernel_sizes=tuple(b.conv_kernel_size),
+        window_size=b.window_size,
+        r=b.r,
+        dropout=b.encoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="encoder",
+    )
+
+
+def _lst_decoder(cfg: FastSpeech2Config, dtype):
+    from ..nn.lstransformer import LSTransformerDecoder
+
+    b = cfg.building_block.lstransformer
+    return LSTransformerDecoder(
+        n_layers=cfg.decoder_layers,
+        d_model=cfg.decoder_hidden,
+        n_head=b.decoder_head,
+        d_inner=b.conv_filter_size,
+        kernel_sizes=tuple(b.conv_kernel_size),
+        window_size=b.window_size,
+        r=b.r,
+        dropout=b.decoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="decoder",
+    )
+
+
+register_block("lstransformer", _lst_encoder, _lst_decoder)
+
+
+# --- reformer ----------------------------------------------------------------
+
+
+def _reformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
+    from ..nn.reformer import ReformerEncoder
+
+    b = cfg.building_block.reformer
+    return ReformerEncoder(
+        n_symbols=n_symbols,
+        n_layers=cfg.encoder_layers,
+        d_model=cfg.encoder_hidden,
+        n_head=b.encoder_head,
+        bucket_size=b.bucket_size,
+        n_hashes=b.n_hashes,
+        dropout=b.encoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="encoder",
+    )
+
+
+def _reformer_decoder(cfg: FastSpeech2Config, dtype):
+    from ..nn.reformer import ReformerDecoder
+
+    b = cfg.building_block.reformer
+    return ReformerDecoder(
+        n_layers=cfg.decoder_layers,
+        d_model=cfg.decoder_hidden,
+        n_head=b.decoder_head,
+        bucket_size=b.bucket_size,
+        n_hashes=b.n_hashes,
+        dropout=b.decoder_dropout,
+        max_seq_len=cfg.max_seq_len,
+        dtype=dtype,
+        name="decoder",
+    )
+
+
+register_block("reformer", _reformer_encoder, _reformer_decoder)
