@@ -1,0 +1,235 @@
+"""Torch-checkpoint -> JAX parameter conversion.
+
+Maps the reference's PyTorch ``state_dict`` layouts
+(UnsupervisedFastSpeech2 / SupervisedFastSpeech2 and HifiGan/iSTFT,
+reference: src/api/utils.py:48-56 checkpoint format {"state_dict": ...})
+onto this framework's flax parameter trees, for parity testing and for
+migrating trained reference models.
+
+Layout conventions converted:
+- torch Linear weight (out, in)            -> flax Dense kernel (in, out)
+- torch Conv1d weight (out, in, k)         -> NWC conv kernel (k, in, out)
+- torch ConvTranspose1d weight (in, out, k)-> (k, in, out) (apply flips k)
+- torch weight-norm (weight_g, weight_v)   -> fused w, stored as (v=w,
+  g=||w||) so our normalize-in-apply reproduces w exactly
+- torch BatchNorm1d weight/bias/running_*  -> scale/bias + batch_stats
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def _lin(sd, name):
+    out = {"kernel": sd[f"{name}.weight"].T}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _conv1d(sd, name):
+    out = {"Conv_0": {"kernel": sd[f"{name}.weight"].transpose(2, 1, 0)}}
+    if f"{name}.bias" in sd:
+        out["Conv_0"]["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _ln(sd, name):
+    return {"LayerNorm_0": {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}}
+
+
+def _ln_flat(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def convert_fft_layer(sd, prefix):
+    """One reference FFTBlock (blocks/transformer.py:168-189)."""
+    return {
+        "slf_attn": {
+            "w_q": _lin(sd, f"{prefix}.slf_attn.w_qs"),
+            "w_k": _lin(sd, f"{prefix}.slf_attn.w_ks"),
+            "w_v": _lin(sd, f"{prefix}.slf_attn.w_vs"),
+            "fc": _lin(sd, f"{prefix}.slf_attn.fc"),
+            "LayerNorm_0": _ln_flat(sd, f"{prefix}.slf_attn.layer_norm"),
+        },
+        "pos_ffn": {
+            "w_1": _conv1d(sd, f"{prefix}.pos_ffn.w_1"),
+            "w_2": _conv1d(sd, f"{prefix}.pos_ffn.w_2"),
+            "LayerNorm_0": _ln_flat(sd, f"{prefix}.pos_ffn.layer_norm"),
+        },
+    }
+
+
+def _predictor_stack(sd, prefix, n_layers):
+    """Reference Duration/VariancePredictor conv stacks (layers.py:372-505);
+    Sequential indices: 0=pad, 1=conv, 2=relu, 3=LN, 4=dropout."""
+    out = {}
+    for i in range(n_layers):
+        out[f"conv_{i}"] = _conv1d(sd, f"{prefix}.conv.{i}.1")
+        out[f"ln_{i}"] = _ln(sd, f"{prefix}.conv.{i}.3")
+    out["linear"] = _lin(sd, f"{prefix}.linear")
+    return out
+
+
+def convert_acoustic(
+    sd: Dict[str, np.ndarray],
+    encoder_layers: int = 6,
+    decoder_layers: int = 6,
+    dur_layers: int = 2,
+    pit_layers: int = 2,
+    ener_layers: int = 2,
+    postnet_layers: int = 5,
+    learn_alignment: bool = True,
+) -> Dict:
+    """Reference FastSpeech2 (transformer blocks) -> flax variables dict."""
+    sd = dict(sd)
+    params: Dict = {}
+
+    params["encoder"] = {
+        "src_word_emb": {"embedding": sd["encoder.src_word_emb.weight"]},
+        **{
+            f"layer_{i}": convert_fft_layer(sd, f"encoder.layer_stack.{i}")
+            for i in range(encoder_layers)
+        },
+    }
+    params["decoder"] = {
+        f"layer_{i}": convert_fft_layer(sd, f"decoder.layer_stack.{i}")
+        for i in range(decoder_layers)
+    }
+    params["mel_linear"] = _lin(sd, "mel_linear")
+    params["speaker_emb"] = {"embedding": sd["speaker_emb.weight"]}
+
+    va: Dict = {
+        "duration_predictor": {
+            "stack": _predictor_stack(
+                sd, "variance_adaptor.duration_predictor", dur_layers
+            )
+        },
+        "pitch_predictor": {
+            "pos_alpha": sd["variance_adaptor.pitch_predictor.pos_embed_alpha"],
+            "stack": _predictor_stack(
+                sd, "variance_adaptor.pitch_predictor", pit_layers
+            ),
+        },
+        "energy_predictor": {
+            "pos_alpha": sd["variance_adaptor.energy_predictor.pos_embed_alpha"],
+            "stack": _predictor_stack(
+                sd, "variance_adaptor.energy_predictor", ener_layers
+            ),
+        },
+        "pitch_embedding": {
+            "embedding": sd["variance_adaptor.pitch_embedding.weight"]
+        },
+        "energy_embedding": {
+            "embedding": sd["variance_adaptor.energy_embedding.weight"]
+        },
+    }
+    if learn_alignment:
+        al = "variance_adaptor.aligner"
+        va["aligner"] = {
+            "key_conv1": _conv1d(sd, f"{al}.key_proj.0.conv"),
+            "key_conv2": _conv1d(sd, f"{al}.key_proj.2.conv"),
+            "query_conv1": _conv1d(sd, f"{al}.query_proj.0.conv"),
+            "query_conv2": _conv1d(sd, f"{al}.query_proj.2.conv"),
+            "query_conv3": _conv1d(sd, f"{al}.query_proj.4.conv"),
+            "key_spk_proj": {"kernel": sd[f"{al}.key_spk_proj.linear.weight"].T},
+            "query_spk_proj": {"kernel": sd[f"{al}.query_spk_proj.linear.weight"].T},
+        }
+    params["variance_adaptor"] = va
+
+    postnet: Dict = {}
+    batch_stats: Dict = {"postnet": {}}
+    for i in range(postnet_layers):
+        p = f"postnet.convolutions.{i}"
+        postnet[f"conv_{i}"] = _conv1d(sd, f"{p}.0.conv")
+        postnet[f"bn_{i}"] = {
+            "scale": sd[f"{p}.1.weight"],
+            "bias": sd[f"{p}.1.bias"],
+        }
+        batch_stats["postnet"][f"bn_{i}"] = {
+            "mean": sd[f"{p}.1.running_mean"],
+            "var": sd[f"{p}.1.running_var"],
+        }
+    params["postnet"] = postnet
+
+    import jax.numpy as jnp
+
+    to_jnp = lambda tree: {
+        k: (to_jnp(v) if isinstance(v, dict) else jnp.asarray(v))
+        for k, v in tree.items()
+    }
+    return {"params": to_jnp(params), "batch_stats": to_jnp(batch_stats)}
+
+
+def _fuse_wn(sd, name):
+    """Fuse torch weight-norm (weight_g, weight_v) -> plain weight.
+
+    torch normalizes v over all dims except ``dim=0``:
+    w = g * v / ||v||_(per dim0 slice).
+    """
+    if f"{name}.weight" in sd:
+        return sd[f"{name}.weight"]
+    g = sd[f"{name}.weight_g"]
+    v = sd[f"{name}.weight_v"]
+    norm = np.sqrt((v**2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _wn_conv1d(sd, name):
+    """torch weight-norm Conv1d -> our WNConv1d (v, g, bias) params."""
+    w = _fuse_wn(sd, name).transpose(2, 1, 0)  # (k, in, out)
+    g = np.sqrt((w.reshape(-1, w.shape[-1]) ** 2).sum(0))
+    out = {"v": w, "g": g}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _wn_convtranspose1d(sd, name):
+    w = _fuse_wn(sd, name).transpose(2, 0, 1)  # (in,out,k) -> (k, in, out)
+    g = np.sqrt((w.reshape(-1, w.shape[-1]) ** 2).sum(0))
+    return {"v": w, "g": g, "bias": sd[f"{name}.bias"]}
+
+
+def convert_hifigan(
+    sd: Dict[str, np.ndarray],
+    n_upsamples: int = 4,
+    n_kernels: int = 3,
+    n_res_convs: int = 3,
+    resblock_type: int = 1,
+) -> Dict:
+    """Reference HifiGan generator (vocoder/generator.py:13-62) -> flax params."""
+    trunk: Dict = {"conv_pre": _wn_conv1d(sd, "conv_pre")}
+    for i in range(n_upsamples):
+        trunk[f"up_{i}"] = _wn_convtranspose1d(sd, f"ups.{i}")
+        for j in range(n_kernels):
+            ridx = i * n_kernels + j
+            res: Dict = {}
+            if resblock_type == 1:
+                for d in range(n_res_convs):
+                    res[f"conv1_{d}"] = _wn_conv1d(sd, f"resblocks.{ridx}.convs1.{d}")
+                    res[f"conv2_{d}"] = _wn_conv1d(sd, f"resblocks.{ridx}.convs2.{d}")
+            else:
+                for d in range(2):
+                    res[f"conv_{d}"] = _wn_conv1d(sd, f"resblocks.{ridx}.convs.{d}")
+            trunk[f"res_{i}_{j}"] = res
+
+    import jax.numpy as jnp
+
+    to_jnp = lambda tree: {
+        k: (to_jnp(v) if isinstance(v, dict) else jnp.asarray(v))
+        for k, v in tree.items()
+    }
+    return {
+        "params": to_jnp({"trunk": trunk, "conv_post": _wn_conv1d(sd, "conv_post")})
+    }

@@ -197,11 +197,12 @@ class FastSpeech2(nn.Module):
         durations = jnp.clip(jnp.round(jnp.exp(log_d) - 1.0) * d_control, min=0.0)
         durations = (durations * txt_mask).astype(jnp.int32)
 
+        x_base = x
         if va.pitch_feature == "phoneme_level":
-            _, pitch_emb = va._pitch_embed(x, None, p_control, True)
+            _, pitch_emb = va._pitch_embed(x_base, None, p_control, True)
             x = x + pitch_emb
         if va.energy_feature == "phoneme_level":
-            _, energy_emb = va._energy_embed(x, None, e_control, True)
+            _, energy_emb = va._energy_embed(x_base, None, e_control, True)
             x = x + energy_emb
         return x, durations
 
@@ -224,11 +225,12 @@ class FastSpeech2(nn.Module):
         x, mel_lens, _ = regulate_length(x, durations, max_mel_len)
         mel_mask = sequence_mask(mel_lens, max_mel_len)
 
+        x_base = x
         if va.pitch_feature == "frame_level":
-            _, pitch_emb = va._pitch_embed(x, None, p_control, True)
+            _, pitch_emb = va._pitch_embed(x_base, None, p_control, True)
             x = x + pitch_emb
         if va.energy_feature == "frame_level":
-            _, energy_emb = va._energy_embed(x, None, e_control, True)
+            _, energy_emb = va._energy_embed(x_base, None, e_control, True)
             x = x + energy_emb
 
         dec, mel_mask = self.decoder(x, mel_mask, deterministic=True)

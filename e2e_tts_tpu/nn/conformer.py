@@ -74,7 +74,7 @@ class FeedForwardModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Dense(self.d_model * self.expansion, dtype=self.dtype)(x)
         x = x * nn.sigmoid(x)  # swish
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -91,7 +91,7 @@ class ConvModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True, train=False):
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Dense(self.d_model * self.expansion, dtype=self.dtype, name="pw1")(x)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)  # GLU
@@ -129,7 +129,7 @@ class ConformerBlock(nn.Module):
         x = x + ff_factor * FeedForwardModule(
             self.d_model, self.ffn_expansion, self.dropout, self.dtype, name="ff1"
         )(x, deterministic)
-        attn_in = nn.LayerNorm(dtype=self.dtype, name="mhsa_norm")(x)
+        attn_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mhsa_norm")(x)
         attn_out = RelativeMultiHeadAttention(
             self.d_model, self.n_head, self.dropout, self.dtype, name="mhsa"
         )(attn_in, pos_emb, pair_mask, deterministic)
@@ -141,7 +141,7 @@ class ConformerBlock(nn.Module):
         x = x + ff_factor * FeedForwardModule(
             self.d_model, self.ffn_expansion, self.dropout, self.dtype, name="ff2"
         )(x, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
         return x * mask[..., None]
 
 

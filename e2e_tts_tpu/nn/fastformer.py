@@ -90,11 +90,11 @@ class FastformerStack(nn.Module):
             self.n_head, dtype=self.dtype, name="to_k_attn_logits"
         )
         self.attn_norms = [
-            nn.LayerNorm(dtype=self.dtype, name=f"attn_norm_{i}")
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_norm_{i}")
             for i in range(self.n_layers)
         ]
         self.ff_norms = [
-            nn.LayerNorm(dtype=self.dtype, name=f"ff_norm_{i}")
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ff_norm_{i}")
             for i in range(self.n_layers)
         ]
         self.attns = [

@@ -146,7 +146,9 @@ class HifiGanGenerator(nn.Module):
             self.dtype,
             name="trunk",
         )(mel)
-        x = _lrelu(x)
+        # the reference's final activation uses torch's default slope 0.01,
+        # not LRELU_SLOPE (generator.py:49)
+        x = nn.leaky_relu(x, 0.01)
         x = WNConv1d(1, 7, dtype=jnp.float32, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 
@@ -192,7 +194,9 @@ class IstftNetGenerator(nn.Module):
             self.dtype,
             name="trunk",
         )(mel)
-        x = _lrelu(x)
+        # default torch slope 0.01 here, matching the reference quirk
+        # (generator.py:103)
+        x = nn.leaky_relu(x, 0.01)
         # reflection pad (1, 0) on time (reference generator.py:89,104)
         x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
         x = WNConv1d(

@@ -82,7 +82,7 @@ class LongShortAttention(nn.Module):
         lkv = kv.reshape(-1, n_win, w, D)
         prev_kv = jnp.concatenate([jnp.zeros_like(lkv[:, :1]), lkv[:, :-1]], axis=1)
         lkv2 = jnp.concatenate([prev_kv, lkv], axis=2)  # (BH, n_win, 2w, D)
-        lkv2 = nn.LayerNorm(dtype=self.dtype, name="local_norm")(lkv2)
+        lkv2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="local_norm")(lkv2)
         lsim = jnp.einsum("bwid,bwjd->bwij", lq, lkv2)
 
         # key validity: real tokens only, and window 0 has no previous window
@@ -120,7 +120,7 @@ class LongShortAttention(nn.Module):
             gkv = jnp.einsum("bnd,bnr->brd", kv, p)
             n_glob = r
 
-        gkv = nn.LayerNorm(dtype=self.dtype, name="global_norm")(gkv)
+        gkv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="global_norm")(gkv)
         gsim = jnp.einsum("bnd,brd->bnr", q, gkv)  # (BH, T, n_glob)
 
         if self.causal:
@@ -175,13 +175,13 @@ class LSTransformerStack(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         for i in range(self.n_layers):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"attn_norm_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_norm_{i}")(x)
             x = x + LongShortAttention(
                 self.d_model, self.n_head, self.window_size, self.segment_size,
                 self.r, True, self.dropout, self.dtype, name=f"attn_{i}",
             )(h, mask, deterministic)
             x = x * mask[..., None]
-            h = nn.LayerNorm(dtype=self.dtype, name=f"ff_norm_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ff_norm_{i}")(x)
             x = x + _ConvFFN(
                 self.d_model, self.d_inner, self.kernel_sizes, self.dropout,
                 self.dtype, name=f"ff_{i}",

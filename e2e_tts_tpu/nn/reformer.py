@@ -280,11 +280,11 @@ class ReformerStack(nn.Module):
             for i in range(n_unique)
         ]
         self.attn_norms = [
-            nn.LayerNorm(dtype=self.dtype, name=f"attn_norm_{i}")
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_norm_{i}")
             for i in range(n_unique)
         ]
         self.ff_norms = [
-            nn.LayerNorm(dtype=self.dtype, name=f"ff_norm_{i}")
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ff_norm_{i}")
             for i in range(n_unique)
         ]
 

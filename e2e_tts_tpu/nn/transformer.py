@@ -40,7 +40,7 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, -1)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype)(out + x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(out + x)
 
 
 class ConvFFN(nn.Module):
@@ -56,7 +56,7 @@ class ConvFFN(nn.Module):
         h = nn.relu(h)
         h = Conv1d(self.d_model, self.kernel_sizes[1], dtype=self.dtype, name="w_2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype)(h + x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h + x)
 
 
 class FFTBlock(nn.Module):

@@ -418,17 +418,21 @@ class VarianceAdaptor(nn.Module):
                 if energy_target is not None:
                     energy_target = pool(energy_target)
 
+        # both predictors read the same base features; embeddings accumulate
+        # separately (reference x_tmp pattern, layers.py:224-241)
         pitch_prediction = energy_prediction = None
-        if self.pitch_feature == "phoneme_level":
-            pitch_prediction, pitch_emb = self._pitch_embed(
-                x, pitch_target if training else None, p_control, deterministic
-            )
-            x = x + pitch_emb
-        if self.energy_feature == "phoneme_level":
-            energy_prediction, energy_emb = self._energy_embed(
-                x, energy_target if training else None, e_control, deterministic
-            )
-            x = x + energy_emb
+        if self.pitch_feature == "phoneme_level" or self.energy_feature == "phoneme_level":
+            x_base = x
+            if self.pitch_feature == "phoneme_level":
+                pitch_prediction, pitch_emb = self._pitch_embed(
+                    x_base, pitch_target if training else None, p_control, deterministic
+                )
+                x = x + pitch_emb
+            if self.energy_feature == "phoneme_level":
+                energy_prediction, energy_emb = self._energy_embed(
+                    x_base, energy_target if training else None, e_control, deterministic
+                )
+                x = x + energy_emb
 
         # expand phoneme-rate to frame-rate
         if training and self.learn_alignment and mel is not None and step is not None:
@@ -449,17 +453,19 @@ class VarianceAdaptor(nn.Module):
                 out_mel_lens = mel_lens
         mel_mask = sequence_mask(out_mel_lens, max_mel_len)
 
-        # frame-level prosody
-        if self.pitch_feature == "frame_level":
-            pitch_prediction, pitch_emb = self._pitch_embed(
-                x, pitch_target if training else None, p_control, deterministic
-            )
-            x = x + pitch_emb
-        if self.energy_feature == "frame_level":
-            energy_prediction, energy_emb = self._energy_embed(
-                x, energy_target if training else None, e_control, deterministic
-            )
-            x = x + energy_emb
+        # frame-level prosody (same x_tmp pattern, layers.py:251-258)
+        if self.pitch_feature == "frame_level" or self.energy_feature == "frame_level":
+            x_base = x
+            if self.pitch_feature == "frame_level":
+                pitch_prediction, pitch_emb = self._pitch_embed(
+                    x_base, pitch_target if training else None, p_control, deterministic
+                )
+                x = x + pitch_emb
+            if self.energy_feature == "frame_level":
+                energy_prediction, energy_emb = self._energy_embed(
+                    x_base, energy_target if training else None, e_control, deterministic
+                )
+                x = x + energy_emb
 
         return {
             "x": x,

@@ -1,0 +1,148 @@
+"""Weight-conversion parity: run the REFERENCE torch models (numba stubbed)
+with random weights, convert the state_dict, and compare outputs.
+
+This is the BASELINE.md north-star check: mel MAE < 1e-3 vs the reference
+CPU pipeline with identical (converted) weights.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+from conftest import REFERENCE_ROOT, requires_reference
+
+torch.manual_seed(0)
+
+
+def _stub_numba():
+    if "numba" in sys.modules and not hasattr(sys.modules["numba"], "_is_stub"):
+        return
+    numba = types.ModuleType("numba")
+    numba._is_stub = True
+
+    def jit(*a, **k):
+        def deco(fn):
+            return fn
+        return deco
+
+    numba.jit = jit
+    numba.prange = range
+    sys.modules["numba"] = numba
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    _stub_numba()
+    sys.path.insert(0, f"{REFERENCE_ROOT}/e2e_tts/models/acoustic")
+    sys.path.insert(0, f"{REFERENCE_ROOT}/e2e_tts/models")
+    import unsupervised_fastspeech2 as ref_fs2
+    import vocoder as ref_voc
+
+    return ref_fs2, ref_voc
+
+
+@requires_reference
+def test_acoustic_parity_with_converted_weights(ref_modules):
+    ref_fs2, _ = ref_modules
+    import jax
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.compat import convert_acoustic
+    from e2e_tts_tpu.config import default_config
+    from e2e_tts_tpu.models import FastSpeech2
+    from e2e_tts_tpu.nn import FeatureStats
+    from e2e_tts_tpu.text import symbols
+
+    cfg = default_config()
+    fs2_cfg = cfg.models.fastspeech2.replace(encoder_layers=2, decoder_layers=2)
+    stats = FeatureStats()
+
+    tmodel = ref_fs2.UnsupervisedFastSpeech2(
+        n_symbols=len(symbols),
+        n_speakers=3,
+        n_channels=80,
+        config=fs2_cfg.to_dict(),
+        stats=stats.to_dict(),
+        device=torch.device("cpu"),
+    ).eval()
+
+    B, L = 2, 17
+    rng = np.random.RandomState(0)
+    texts = rng.randint(4, len(symbols), (B, L)).astype(np.int64)
+    txt_lens = np.array([17, 11])
+    speakers = np.array([1, 2])
+
+    with torch.no_grad():
+        (t_mel, t_postnet, t_dur), t_mel_lens = tmodel.inference(
+            speaker=torch.from_numpy(speakers),
+            texts=torch.from_numpy(texts),
+            txt_lens=torch.from_numpy(txt_lens),
+            max_txt_len=L,
+        )
+    t_mel_lens = t_mel_lens.numpy()
+    T = int(t_mel_lens.max())
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_acoustic(sd, encoder_layers=2, decoder_layers=2)
+
+    jmodel = FastSpeech2(
+        config=fs2_cfg,
+        n_symbols=len(symbols),
+        n_speakers=3,
+        n_mel_channels=80,
+        stats=stats,
+    )
+    out = jmodel.apply(
+        variables,
+        speakers=jnp.asarray(speakers, jnp.int32),
+        texts=jnp.asarray(texts, jnp.int32),
+        txt_lens=jnp.asarray(txt_lens, jnp.int32),
+        max_mel_len=T,
+    )
+
+    j_dur = np.asarray(out["duration_rounded"])
+    np.testing.assert_array_equal(
+        j_dur[0, :17], t_dur.numpy()[0, :17]
+    )
+    j_mel_lens = np.asarray(out["mel_lens"])
+    np.testing.assert_array_equal(j_mel_lens, t_mel_lens)
+
+    j_post = np.asarray(out["postnet_mel"])
+    for b in range(B):
+        n = int(t_mel_lens[b])
+        mae = np.abs(j_post[b, :n] - t_postnet.numpy()[b, :n]).mean()
+        assert mae < 1e-3, f"item {b}: postnet mel MAE {mae}"
+        mae_pre = np.abs(
+            np.asarray(out["mel"])[b, :n] - t_mel.numpy()[b, :n]
+        ).mean()
+        assert mae_pre < 1e-3, f"item {b}: mel MAE {mae_pre}"
+
+
+@requires_reference
+def test_hifigan_parity_with_converted_weights(ref_modules):
+    _, ref_voc = ref_modules
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.compat import convert_hifigan
+    from e2e_tts_tpu.config import default_config
+    from e2e_tts_tpu.models import build_generator
+
+    cfg = default_config()
+    tgen = ref_voc.HifiGan(config=cfg.models.hifigan.to_dict()).eval()
+
+    rng = np.random.RandomState(1)
+    mel = rng.randn(1, 80, 24).astype(np.float32) * 0.5
+    with torch.no_grad():
+        t_audio = tgen(torch.from_numpy(mel)).squeeze(1).numpy()
+
+    sd = {k: v.numpy() for k, v in tgen.state_dict().items()}
+    params = convert_hifigan(sd)
+    jgen = build_generator(cfg, "hifigan")
+    j_audio = np.asarray(jgen.apply(params, jnp.asarray(mel.transpose(0, 2, 1))))
+
+    assert j_audio.shape == t_audio.shape
+    mae = np.abs(j_audio - t_audio).mean()
+    assert mae < 1e-5, f"waveform MAE {mae}"
