@@ -155,13 +155,25 @@ def make_acoustic_batches(
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = False,
+    with_paths: bool = False,
 ) -> Iterator[AcousticBatch]:
-    """Yield fixed-shape AcousticBatch objects grouped by (text, mel) bucket."""
+    """Yield fixed-shape AcousticBatch objects grouped by (text, mel) bucket.
+
+    With ``with_paths``, yields (batch, [wav_path per row]) so offline jobs
+    (e.g. predicted-mel generation) can map rows back to utterances.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
 
     n_mels = dataset.config.audio.mel.channels
+
+    def emit(utts, key):
+        batch = _collate(utts, key, batch_size, n_mels, dataset)
+        if with_paths:
+            return batch, [u.wav_path for u in utts]
+        return batch
+
     groups: Dict[Tuple[int, int], List[Utterance]] = {}
     for i in order:
         utt = dataset[int(i)]
@@ -170,11 +182,11 @@ def make_acoustic_batches(
         key = (_bucket(len(utt.text_ids), TEXT_BUCKETS), _bucket(utt.mel.shape[0], MEL_BUCKETS))
         groups.setdefault(key, []).append(utt)
         if len(groups[key]) == batch_size:
-            yield _collate(groups.pop(key), key, batch_size, n_mels, dataset)
+            yield emit(groups.pop(key), key)
 
     if not drop_last:
         for key, utts in groups.items():
-            yield _collate(utts, key, batch_size, n_mels, dataset)
+            yield emit(utts, key)
 
 
 def _collate(

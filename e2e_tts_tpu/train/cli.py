@@ -237,6 +237,81 @@ def cmd_vocoder(args):
     print(f"[vocoder] done at step {step}")
 
 
+def cmd_generate_mels(args):
+    """Batch acoustic inference with teacher-forced durations -> write
+    ``predicted_mels/*.npy`` for vocoder fine-tuning (reference
+    generate_mel, tools_for_data.py:216-256)."""
+    from ..config import default_config, load_config
+    from ..data import AcousticDataset, make_acoustic_batches
+    from ..models import FastSpeech2
+    from ..nn import FeatureStats
+    from ..text import symbols
+    from ..train import acoustic_optimizer, init_train_state
+    from ..train.checkpoint import CheckpointManager
+
+    config = load_config(args.config) if args.config else default_config()
+    entries, stats, speakers = _load_workdir(args.workdir)
+    dataset = AcousticDataset(
+        entries, speakers, stats, config,
+        prior_cache_dir=os.path.join(args.workdir, "priors"),
+    )
+    model = FastSpeech2(
+        config=config.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=len(speakers),
+        n_mel_channels=config.audio.mel.channels,
+        stats=FeatureStats.from_dict(stats),
+    )
+    optimizer = acoustic_optimizer(
+        config.train.fastspeech2_optimizer, config.models.fastspeech2.encoder_hidden
+    )
+    state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
+    state = ckpt.restore(state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def infer(variables, batch):
+        # teacher-forced forward (training graph, eval weights) reproduces
+        # target-aligned mels for the vocoder
+        out, _ = model.apply(
+            variables,
+            speakers=batch.speakers,
+            texts=batch.texts,
+            txt_lens=batch.txt_lens,
+            max_mel_len=batch.mel.shape[1],
+            mel=batch.mel,
+            mel_lens=batch.mel_lens,
+            attn_prior=batch.attn_prior,
+            pitch_target={"f0": batch.f0, "uv": batch.uv},
+            energy_target=batch.energy,
+            step=jnp.asarray(10**9),
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"],
+        )
+        return out["postnet_mel"], out["mel_lens"]
+
+    count = 0
+    for batch, paths in make_acoustic_batches(
+        dataset, config.train.batch_size, shuffle=False, with_paths=True
+    ):
+        b = jax.tree_util.tree_map(jnp.asarray, batch)
+        mels, lens = infer(variables, b)
+        mels, lens = np.asarray(mels), np.asarray(lens)
+        for row, wav in enumerate(paths):
+            base = os.path.splitext(os.path.basename(wav))[0]
+            root = os.path.dirname(os.path.dirname(wav))
+            outdir = os.path.join(root, "predicted_mels")
+            os.makedirs(outdir, exist_ok=True)
+            np.save(
+                os.path.join(outdir, f"{base}.npy"),
+                mels[row, : lens[row]].T,  # (n_mels, T) reference layout
+            )
+            count += 1
+    print(f"[generate-mels] wrote {count} predicted mels")
+
+
 def cmd_export(args):
     """Write the serving bundle from trained checkpoints."""
     from ..config import default_config, load_config
@@ -320,6 +395,11 @@ def main(argv=None):
     pv.add_argument("--istft", action="store_true")
     pv.add_argument("--predicted-mels", action="store_true")
     pv.set_defaults(fn=cmd_vocoder)
+
+    pg = sub.add_parser("generate-mels")
+    pg.add_argument("--workdir", required=True)
+    pg.add_argument("--config")
+    pg.set_defaults(fn=cmd_generate_mels)
 
     pe = sub.add_parser("export")
     pe.add_argument("--workdir", required=True)

@@ -1,0 +1,244 @@
+"""Joint acoustic + vocoder (GAN) fine-tuning step.
+
+The reference's ``e2e_logger`` proves a combined fine-tune loop existed
+outside the repo (reference: log/logger.py:18-56 logs total/gen/disc/var/
+mpd/msd/fm/mel/duration/pitch/energy scalars + audio).  This reconstructs
+it as one jittable step:
+
+  acoustic (teacher-forced durations) -> predicted mel -> HiFi-GAN ->
+  waveform segment; D step on (real, fake) audio; G step = GAN losses +
+  variance losses, gradients flowing through the vocoder INTO the acoustic
+  model.
+
+Segment cropping is done with a static-size dynamic slice so shapes stay
+fixed under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..audio.mel import MelParams, mel_spectrogram
+from ..config import Config
+from ..models.acoustic import FastSpeech2
+from ..models.acoustic_loss import fastspeech2_loss
+from ..nn.discriminators import (
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    discriminator_loss,
+    feature_loss,
+    generator_adv_loss,
+)
+from .acoustic_step import AcousticBatch
+from .vocoder_step import MEL_LOSS_WEIGHT
+
+
+class E2EState(NamedTuple):
+    step: jnp.ndarray
+    acoustic_params: Any
+    acoustic_batch_stats: Any
+    g_params: Any
+    d_params: Any
+    am_opt_state: Any
+    g_opt_state: Any
+    d_opt_state: Any
+
+
+class E2EBatch(NamedTuple):
+    acoustic: AcousticBatch
+    audio: jnp.ndarray          # (B, T_mel * hop) aligned ground-truth audio
+
+
+def make_e2e_train_step(
+    model: FastSpeech2,
+    generator,
+    config: Config,
+    am_optimizer: optax.GradientTransformation,
+    g_optimizer: optax.GradientTransformation,
+    d_optimizer: optax.GradientTransformation,
+    n_words: int,
+    segment_frames: int = 32,
+):
+    mpd = MultiPeriodDiscriminator()
+    msd = MultiScaleDiscriminator()
+    mel_params = MelParams.from_config(config.audio, loss=True)
+    hop = config.audio.stft.hop_length
+    learn_alignment = config.models.fastspeech2.variance.duration_modelling.learn_alignment
+    use_uv = config.models.fastspeech2.variance.variance_embedding.use_uv
+    loss_cfg = config.train.fastspeech2_loss
+
+    def acoustic_forward(a_params, a_bs, batch: AcousticBatch, step, rng):
+        variables = {"params": a_params, "batch_stats": a_bs}
+        kw = dict(
+            speakers=batch.speakers,
+            texts=batch.texts,
+            txt_lens=batch.txt_lens,
+            max_mel_len=batch.mel.shape[1],
+            mel=batch.mel,
+            mel_lens=batch.mel_lens,
+            step=step,
+            train=True,
+        )
+        kw["pitch_target"] = (
+            {"f0": batch.f0, "uv": batch.uv} if use_uv else batch.pitch
+        )
+        kw["energy_target"] = batch.energy
+        if learn_alignment:
+            kw["attn_prior"] = batch.attn_prior
+        else:
+            kw["duration_target"] = batch.duration_target
+        out, mut = model.apply(
+            variables, **kw, rngs={"dropout": rng}, mutable=["batch_stats"]
+        )
+        return out, mut["batch_stats"]
+
+    def crop(mel_pred, audio, mel_lens, rng):
+        """Random aligned (mel, audio) segment with static shapes."""
+        B = mel_pred.shape[0]
+        max_start = jnp.maximum(mel_lens - segment_frames, 0)
+        starts = (
+            jax.random.uniform(rng, (B,)) * (max_start + 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+
+        def take(mp, au, s):
+            m = jax.lax.dynamic_slice_in_dim(mp, s, segment_frames, axis=0)
+            a = jax.lax.dynamic_slice_in_dim(au, s * hop, segment_frames * hop, axis=0)
+            return m, a
+
+        return jax.vmap(take)(mel_pred, audio, starts)
+
+    def gen_loss_fn(gen_params, a_bs, d_params, batch: E2EBatch, step, rngs):
+        a_params_all, g_params = gen_params
+        out, new_bs = acoustic_forward(
+            a_params_all, a_bs, batch.acoustic, step, rngs["dropout"]
+        )
+        var_losses = fastspeech2_loss(
+            out,
+            mel_target=batch.acoustic.mel,
+            txt_lens=batch.acoustic.txt_lens,
+            mel_lens=batch.acoustic.mel_lens,
+            word_ids=batch.acoustic.word_ids,
+            n_words=n_words,
+            step=step,
+            loss_cfg=loss_cfg,
+            use_uv=use_uv,
+            learn_alignment=learn_alignment,
+        )
+
+        mel_seg, audio_seg = crop(
+            out["postnet_mel"], batch.audio, batch.acoustic.mel_lens, rngs["crop"]
+        )
+        y_hat = generator.apply(g_params, mel_seg)
+        n = min(y_hat.shape[-1], audio_seg.shape[-1])
+        y, y_hat = audio_seg[..., :n], y_hat[..., :n]
+
+        mel_hat = mel_spectrogram(y_hat, mel_params)
+        mel_ref = mel_spectrogram(y, mel_params)
+        loss_mel = jnp.mean(jnp.abs(mel_hat - mel_ref))
+
+        pr, pf, prf, pff = mpd.apply(d_params["mpd"], y, y_hat)
+        sr, sf, srf, sff = msd.apply(d_params["msd"], y, y_hat)
+        loss_fm = feature_loss(prf, pff) + feature_loss(srf, sff)
+        loss_adv = generator_adv_loss(pf) + generator_adv_loss(sf)
+
+        total = (
+            loss_adv + loss_fm + MEL_LOSS_WEIGHT * loss_mel + var_losses["total"]
+        )
+        metrics = {
+            "total": total,
+            "generator": loss_adv,
+            "fm": loss_fm,
+            "mel": loss_mel,
+            "variance": var_losses["total"],
+            "duration": var_losses["pdur"],
+            "pitch": var_losses.get("f0", var_losses.get("pitch", 0.0)),
+            "energy": var_losses["energy"],
+            "postnet": var_losses["postnet"],
+            "ctc": var_losses.get("ctc", 0.0),
+            "bin": var_losses.get("bin", 0.0),
+        }
+        return total, (metrics, new_bs, (y, jax.lax.stop_gradient(y_hat)))
+
+    def d_loss_fn(d_params, pair):
+        y, y_hat = pair
+        pr, pf, _, _ = mpd.apply(d_params["mpd"], y, y_hat)
+        sr, sf, _, _ = msd.apply(d_params["msd"], y, y_hat)
+        loss_p = discriminator_loss(pr, pf)
+        loss_s = discriminator_loss(sr, sf)
+        return loss_p + loss_s, {"mpd": loss_p, "msd": loss_s}
+
+    def train_step(state: E2EState, batch: E2EBatch, rng):
+        r_drop, r_crop = jax.random.split(rng)
+        rngs = {"dropout": r_drop, "crop": r_crop}
+
+        (g_total, (metrics, new_bs, pair)), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(
+            (state.acoustic_params, state.g_params),
+            state.acoustic_batch_stats,
+            state.d_params,
+            batch,
+            state.step,
+            rngs,
+        )
+        a_grads, g_grads = grads
+
+        am_updates, am_opt = am_optimizer.update(
+            a_grads, state.am_opt_state, state.acoustic_params
+        )
+        new_a = optax.apply_updates(state.acoustic_params, am_updates)
+        g_updates, g_opt = g_optimizer.update(g_grads, state.g_opt_state, state.g_params)
+        new_g = optax.apply_updates(state.g_params, g_updates)
+
+        (d_total, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, pair
+        )
+        d_updates, d_opt = d_optimizer.update(d_grads, state.d_opt_state, state.d_params)
+        new_d = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = dict(metrics)
+        metrics["discriminator"] = d_total
+        metrics.update(d_metrics)
+
+        return (
+            E2EState(
+                step=state.step + 1,
+                acoustic_params=new_a,
+                acoustic_batch_stats=new_bs,
+                g_params=new_g,
+                d_params=new_d,
+                am_opt_state=am_opt,
+                g_opt_state=g_opt,
+                d_opt_state=d_opt,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def init_e2e_state(
+    model, generator, config, am_opt, g_opt, d_opt, rng, segment_frames: int = 32
+) -> E2EState:
+    from ..models.acoustic import init_acoustic_variables
+    from .vocoder_step import init_vocoder_train_state
+
+    k1, k2 = jax.random.split(rng)
+    a_vars = init_acoustic_variables(model, k1)
+    v_state = init_vocoder_train_state(
+        generator, config, g_opt, d_opt, k2, segment_frames
+    )
+    return E2EState(
+        step=jnp.zeros((), jnp.int32),
+        acoustic_params=a_vars["params"],
+        acoustic_batch_stats=a_vars.get("batch_stats", {}),
+        g_params=v_state.g_params,
+        d_params=v_state.d_params,
+        am_opt_state=am_opt.init(a_vars["params"]),
+        g_opt_state=g_opt.init(v_state.g_params),
+        d_opt_state=d_opt.init(v_state.d_params),
+    )

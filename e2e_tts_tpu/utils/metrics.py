@@ -1,0 +1,107 @@
+"""Perceptual evaluation harness (reference: modules/metrics/mos_test.py).
+
+The reference scores generated wavs with MOSNet via the ``speechmetrics``
+package (10 s windows, per-speaker means).  That model isn't available in
+this image, so the harness keeps the same interface with pluggable scorers:
+
+- ``MosnetScorer``: uses speechmetrics when installed (reference behavior);
+- ``DspProxyScorer``: a self-contained signal-quality proxy (clipping rate,
+  silence ratio, spectral flatness, bandwidth) mapped to a 1-5 scale.  It is
+  an engineering health check, NOT a perceptual MOS — documented as such.
+
+``evaluate_directory`` mirrors the reference CLI: wav tree in, per-speaker
+average scores out as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from ..audio.wav import read_wav
+
+
+class DspProxyScorer:
+    """Heuristic audio-health score in [1, 5] (proxy, not perceptual MOS)."""
+
+    window_s: float = 10.0
+
+    def __call__(self, audio: np.ndarray, sample_rate: int) -> float:
+        if len(audio) == 0:
+            return 1.0
+        score = 5.0
+        # clipping penalty
+        clip_rate = float(np.mean(np.abs(audio) > 0.999))
+        score -= min(2.0, clip_rate * 200)
+        # near-silence penalty
+        rms = float(np.sqrt(np.mean(audio**2)))
+        if rms < 1e-4:
+            score -= 3.0
+        elif rms < 1e-3:
+            score -= 1.5
+        # spectral flatness: white-noise-like output scores low
+        spec = np.abs(np.fft.rfft(audio[: sample_rate * 10])) + 1e-10
+        flatness = float(
+            np.exp(np.mean(np.log(spec))) / np.mean(spec)
+        )
+        score -= min(1.5, flatness * 4)
+        # DC offset
+        score -= min(0.5, abs(float(np.mean(audio))) * 50)
+        return float(np.clip(score, 1.0, 5.0))
+
+
+class MosnetScorer:
+    """MOSNet via speechmetrics, matching the reference (mos_test.py:17-18)."""
+
+    def __init__(self):
+        import speechmetrics  # noqa: F401 — optional dependency
+
+        self._metric = speechmetrics.load("mosnet", 10)
+
+    def __call__(self, audio: np.ndarray, sample_rate: int) -> float:
+        out = self._metric(audio, rate=sample_rate)
+        return float(np.mean(out["mosnet"]))
+
+
+def make_scorer() -> Callable[[np.ndarray, int], float]:
+    try:
+        return MosnetScorer()
+    except ImportError:
+        return DspProxyScorer()
+
+
+def evaluate_directory(
+    wav_dir: str,
+    scorer: Callable[[np.ndarray, int], float] = None,
+) -> Dict[str, float]:
+    """Score every wav under wav_dir; per-speaker averages keyed by the
+    immediate parent directory (reference layout: wavs/<speaker>/*.wav)."""
+    scorer = scorer or make_scorer()
+    per_speaker: Dict[str, List[float]] = {}
+    for root, _dirs, files in os.walk(wav_dir):
+        for name in sorted(files):
+            if not name.lower().endswith(".wav"):
+                continue
+            audio, sr = read_wav(os.path.join(root, name))
+            speaker = os.path.basename(root) or "default"
+            per_speaker.setdefault(speaker, []).append(scorer(audio, sr))
+    return {spk: float(np.mean(v)) for spk, v in per_speaker.items() if v}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="MOS evaluation harness")
+    p.add_argument("--wav-dir", required=True)
+    p.add_argument("--output", default="mos_scores.json")
+    args = p.parse_args(argv)
+    scores = evaluate_directory(args.wav_dir)
+    with open(args.output, "w") as f:
+        json.dump(scores, f, indent=1)
+    print(json.dumps(scores, indent=1))
+
+
+if __name__ == "__main__":
+    main()
