@@ -17,6 +17,16 @@ import jax.numpy as jnp
 
 from ..config import FastSpeech2Config
 
+# Fused Pallas attention for the transformer family: enabled on TPU for the
+# frame-rate decoder path (no effect on parameters). Toggle via set_use_flash.
+USE_FLASH_ATTENTION = False
+
+
+def set_use_flash(enabled: bool):
+    global USE_FLASH_ATTENTION
+    USE_FLASH_ATTENTION = bool(enabled)
+
+
 _ENCODERS: Dict[str, Callable] = {}
 _DECODERS: Dict[str, Callable] = {}
 
@@ -60,6 +70,7 @@ def _transformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
         kernel_sizes=tuple(b.conv_kernel_size),
         dropout=b.encoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        use_flash=USE_FLASH_ATTENTION,
         dtype=dtype,
         name="encoder",
     )
@@ -77,6 +88,7 @@ def _transformer_decoder(cfg: FastSpeech2Config, dtype):
         kernel_sizes=tuple(b.conv_kernel_size),
         dropout=b.decoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        use_flash=USE_FLASH_ATTENTION,
         dtype=dtype,
         name="decoder",
     )

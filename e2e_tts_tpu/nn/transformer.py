@@ -23,10 +23,11 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     n_head: int
     dropout: float = 0.1
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pair_mask, deterministic: bool = True):
+    def __call__(self, x, pair_mask, deterministic: bool = True, kv_lens=None):
         B, T, _ = x.shape
         d_k = self.d_model // self.n_head
         dense = lambda name: nn.Dense(self.n_head * d_k, dtype=self.dtype, name=name)
@@ -34,10 +35,19 @@ class MultiHeadAttention(nn.Module):
         k = dense("w_k")(x).reshape(B, T, self.n_head, d_k)
         v = dense("w_v")(x).reshape(B, T, self.n_head, d_k)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d_k)
-        scores = jnp.where(pair_mask[:, None, :, :], scores, NEG_INF)
-        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, -1)
+        if self.use_flash and kv_lens is not None and T >= 256:
+            # fused Pallas path: scores never materialize in HBM
+            from ..kernels import flash_attention
+
+            fold = lambda t: t.transpose(0, 2, 1, 3).reshape(B * self.n_head, T, d_k)
+            lens = jnp.repeat(kv_lens.astype(jnp.int32), self.n_head)
+            o = flash_attention(fold(q), fold(k), fold(v), lens)
+            out = o.reshape(B, self.n_head, T, d_k).transpose(0, 2, 1, 3).reshape(B, T, -1)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d_k)
+            scores = jnp.where(pair_mask[:, None, :, :], scores, NEG_INF)
+            attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, -1)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(out + x)
@@ -65,14 +75,17 @@ class FFTBlock(nn.Module):
     d_inner: int
     kernel_sizes: Tuple[int, int] = (9, 1)
     dropout: float = 0.1
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         pair_mask = mask[:, :, None] & mask[:, None, :]
+        kv_lens = jnp.sum(mask.astype(jnp.int32), axis=-1)
         x = MultiHeadAttention(
-            self.d_model, self.n_head, self.dropout, self.dtype, name="slf_attn"
-        )(x, pair_mask, deterministic)
+            self.d_model, self.n_head, self.dropout, self.use_flash,
+            self.dtype, name="slf_attn",
+        )(x, pair_mask, deterministic, kv_lens=kv_lens)
         x = x * mask[..., None]
         x = ConvFFN(
             self.d_model, self.d_inner, self.kernel_sizes, self.dropout,
@@ -93,6 +106,7 @@ class TransformerEncoder(nn.Module):
     kernel_sizes: Tuple[int, int] = (9, 1)
     dropout: float = 0.1
     max_seq_len: int = 1000
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -110,7 +124,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.n_layers):
             x = FFTBlock(
                 self.d_model, self.n_head, self.d_inner, self.kernel_sizes,
-                self.dropout, self.dtype, name=f"layer_{i}",
+                self.dropout, self.use_flash, self.dtype, name=f"layer_{i}",
             )(x, mask, deterministic)
         return x, emb
 
@@ -125,6 +139,7 @@ class TransformerDecoder(nn.Module):
     kernel_sizes: Tuple[int, int] = (9, 1)
     dropout: float = 0.1
     max_seq_len: int = 1000
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -136,7 +151,7 @@ class TransformerDecoder(nn.Module):
         for i in range(self.n_layers):
             x = FFTBlock(
                 self.d_model, self.n_head, self.d_inner, self.kernel_sizes,
-                self.dropout, self.dtype, name=f"layer_{i}",
+                self.dropout, self.use_flash, self.dtype, name=f"layer_{i}",
             )(x, mask, deterministic)
         return x, mask
 
