@@ -36,8 +36,24 @@ def yin_f0(
     fmax: float = 750.0,
     frame_length: int = 2048,
     threshold: float = 0.2,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """YIN fundamental-frequency track. Returns f0 per hop frame, 0=unvoiced."""
+    """YIN fundamental-frequency track. Returns f0 per hop frame, 0=unvoiced.
+
+    Uses the C++ implementation (native/yin.cc) when built; this NumPy body
+    is the reference/fallback path.
+    """
+    if use_native:
+        try:
+            from ..native import native_yin_f0
+
+            out = native_yin_f0(
+                audio, sample_rate, hop_length, fmin, fmax, frame_length, threshold
+            )
+            if out is not None:
+                return out
+        except Exception:
+            pass
     audio = np.asarray(audio, dtype=np.float64)
     tau_min = max(2, int(sample_rate / fmax))
     tau_max = min(frame_length // 2, int(sample_rate / fmin) + 1)
