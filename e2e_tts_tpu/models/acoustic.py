@@ -12,10 +12,13 @@ imports); every block family shares the (x, mask) -> x contract.
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import FastSpeech2Config
 from ..nn.postnet import Postnet
@@ -24,34 +27,93 @@ from ..ops import sequence_mask
 from .blocks import build_decoder, build_encoder
 
 
-def init_acoustic_variables(model: "FastSpeech2", rng, tiny_len: int = 16, tiny_mel: int = 32):
+_INIT_CACHE_DIR = os.environ.get(
+    "E2E_TTS_INIT_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".cache", "init")
+)
+
+
+def init_acoustic_variables(
+    model: "FastSpeech2", rng, tiny_len: int = 16, tiny_mel: int = 32,
+    use_cache: bool = True,
+):
     """Canonical variable initialization covering every submodule.
 
     Always inits in training mode (with a dummy mel + aligner prior) so the
     aligner and postnet batch-norm variables exist regardless of how the
     model is later used; serving, checkpoints, and converters all share this
     structure.
+
+    Init math runs on the host CPU backend (compiling the init graph through
+    a remote-TPU tunnel costs minutes; the arrays transfer on first use).
     """
     import jax
 
-    B, L, T = 1, tiny_len, tiny_mel
-    kw = dict(
-        speakers=jnp.zeros((B,), jnp.int32),
-        texts=jnp.ones((B, L), jnp.int32),
-        txt_lens=jnp.array([L]),
-        max_mel_len=T,
-        mel=jnp.zeros((B, T, model.n_mel_channels)),
-        mel_lens=jnp.array([T]),
-        pitch_target={"f0": jnp.zeros((B, T)), "uv": jnp.zeros((B, T))},
-        energy_target=jnp.zeros((B, T)),
-        step=jnp.asarray(0),
-        train=True,
-    )
-    if model.config.variance.duration_modelling.learn_alignment:
-        kw["attn_prior"] = jnp.full((B, T, L), 1.0 / L)
-    else:
-        kw["duration_target"] = jnp.full((B, L), T // L, jnp.float32)
-    return model.init({"params": rng, "dropout": jax.random.PRNGKey(0)}, **kw)
+    import jax as _jax
+
+    def _do_init(init_rng):
+        B, L, T = 1, tiny_len, tiny_mel
+        kw = dict(
+            speakers=jnp.zeros((B,), jnp.int32),
+            texts=jnp.ones((B, L), jnp.int32),
+            txt_lens=jnp.array([L]),
+            max_mel_len=T,
+            mel=jnp.zeros((B, T, model.n_mel_channels)),
+            mel_lens=jnp.array([T]),
+            pitch_target={"f0": jnp.zeros((B, T)), "uv": jnp.zeros((B, T))},
+            energy_target=jnp.zeros((B, T)),
+            step=jnp.asarray(0),
+            train=True,
+        )
+        if model.config.variance.duration_modelling.learn_alignment:
+            kw["attn_prior"] = jnp.full((B, T, L), 1.0 / L)
+        else:
+            kw["duration_target"] = jnp.full((B, L), T // L, jnp.float32)
+        return model.init(
+            {"params": init_rng, "dropout": _jax.random.PRNGKey(0)}, **kw
+        )
+
+    cache_path = None
+    if use_cache and jax.default_backend() != "cpu":
+        import hashlib
+
+        from flax import serialization
+
+        key = hashlib.sha1(
+            repr(
+                (
+                    model.config,
+                    model.n_symbols,
+                    model.n_speakers,
+                    model.n_mel_channels,
+                    np.asarray(rng).tobytes(),
+                )
+            ).encode()
+        ).hexdigest()[:16]
+        cache_path = os.path.join(_INIT_CACHE_DIR, f"acoustic_{key}.msgpack")
+        if os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                host = serialization.msgpack_restore(f.read())
+            return jax.device_put(host)
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        # one jitted CPU program instead of thousands of eager dispatches
+        # (which would each round-trip a remote-TPU tunnel); the rng must be
+        # committed to cpu or jit would follow it back to the TPU
+        with jax.default_device(cpu):
+            variables = jax.jit(_do_init)(jax.device_put(rng, cpu))
+            host = jax.tree_util.tree_map(np.asarray, variables)
+        if cache_path is not None:
+            from flax import serialization
+
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with open(cache_path, "wb") as f:
+                f.write(serialization.msgpack_serialize(host))
+        return jax.device_put(host)
+    return _do_init(rng)
 
 
 class FastSpeech2(nn.Module):

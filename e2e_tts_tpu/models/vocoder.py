@@ -45,6 +45,25 @@ def vocode(generator, params, mel, config: Config, kind: str = "hifigan"):
     return istft_to_audio(spec, phase, config.models.istft)
 
 
+def init_generator_params(generator, rng, n_mel_channels: int = 80, frames: int = 16):
+    """Init vocoder params on the host CPU backend (remote-TPU init compiles
+    cost minutes through a tunnel), transferring to the default device."""
+    import jax
+
+    dummy = jnp.zeros((1, frames, n_mel_channels))
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        import numpy as np
+
+        with jax.default_device(cpu):
+            params = generator.init(rng, dummy)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x)), params)
+    return generator.init(rng, dummy)
+
+
 def fuse_weight_norm(params):
     """Canonicalize every (v, g) weight-norm pair so that v holds the fused
     kernel and g its norm — the serving-time ``remove_weight_norm``

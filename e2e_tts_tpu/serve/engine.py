@@ -267,8 +267,10 @@ class SynthesisEngine:
 
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         aparams = init_acoustic_variables(acoustic, k1)
+        from ..models.vocoder import init_generator_params
+
         voc = build_generator(config, vocoder_kind, dtype=dtype)
-        vparams = voc.init(k2, jnp.zeros((1, 16, config.audio.mel.channels)))
+        vparams = init_generator_params(voc, k2, config.audio.mel.channels)
         return cls(
             config, aparams, vparams, speakers, stats,
             vocoder_kind=vocoder_kind, dtype=dtype, **kw,
