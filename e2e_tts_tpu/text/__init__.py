@@ -9,8 +9,10 @@ from .g2p import (
 )
 from .normalizer import HttpNormalizer, normalize_text, number_to_words
 from .sequence import (
+    basic_cleaners,
     phonemes_to_sequence,
     sequence_to_phonemes,
+    sequence_to_text,
     text_to_sequence,
 )
 from .symbols import (

@@ -45,3 +45,15 @@ def text_to_sequence(
 
 def sequence_to_phonemes(sequence: List[int]) -> List[str]:
     return [ID_TO_SYMBOL[int(i)] for i in sequence]
+
+
+def sequence_to_text(sequence: List[int]) -> str:
+    """ids -> underscore-joined symbol string (reference
+    g2p/__init__.py:34-40 debugging helper)."""
+    return "_".join(sequence_to_phonemes(sequence))
+
+
+def basic_cleaners(text: str) -> str:
+    """Uppercase + collapse whitespace, no transliteration (reference
+    cleaners.py:18-23) — for pre-phonemized inputs."""
+    return _whitespace_re.sub(" ", text.upper()).strip()

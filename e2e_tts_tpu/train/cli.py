@@ -143,6 +143,25 @@ def cmd_acoustic(args):
         params=jax.device_put(state.params, param_sharding_rules(state.params, mesh))
     )
 
+    valid_dataset = AcousticDataset(
+        valid_entries, speakers, stats, config,
+        supervised=args.supervised,
+        prior_cache_dir=os.path.join(args.workdir, "priors"),
+    )
+
+    def run_validation(state, step):
+        """Average training losses over the held-out split (no update)."""
+        totals, n = {}, 0
+        for vb in make_acoustic_batches(
+            valid_dataset, config.train.batch_size, shuffle=False
+        ):
+            vb = jax.tree_util.tree_map(jnp.asarray, vb)
+            _, m = train_step(state, vb, jax.random.PRNGKey(0))
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        return {f"valid_{k}": v / max(n, 1) for k, v in totals.items()}
+
     logger = AcousticLogger(os.path.join(args.workdir, "logs", "acoustic"))
     rng = jax.random.PRNGKey(config.train.seed)
     step = int(state.step)
@@ -168,6 +187,13 @@ def cmd_acoustic(args):
                     )
                 if step % args.ckpt_every == 0:
                     ckpt.save(step, jax.device_get(state))
+                    if valid_entries:
+                        vm = run_validation(state, step)
+                        logger.log(step, vm)
+                        print(
+                            f"[acoustic] step {step} valid_total="
+                            f"{vm.get('valid_total', float('nan')):.4f}"
+                        )
                 if step >= args.steps:
                     break
             epoch += 1

@@ -110,6 +110,19 @@ def test_synthesizer_file_api(engine, tmp_path):
     assert len(audio) > 0
 
 
+def test_speaker_conditioning_changes_output(engine):
+    """config[2]: multi-speaker conditioning — different speaker embeddings
+    must produce different audio for the same text."""
+    a0 = engine.synthesize("xin chào các bạn", speaker_id="speaker_0", silence_distance=0)
+    a1 = engine.synthesize("xin chào các bạn", speaker_id="speaker_1", silence_distance=0)
+    n = min(len(a0), len(a1))
+    assert n > 0
+    # random weights produce near-zero audio that can quantize identically
+    # in int16, but speaker conditioning must at least change predicted
+    # durations (different waveform lengths) or the samples themselves
+    assert len(a0) != len(a1) or not np.array_equal(a0[:n], a1[:n])
+
+
 def test_speed_change_array():
     sr = 22050
     t = np.arange(sr) / sr
