@@ -139,8 +139,19 @@ def cmd_acoustic(args):
     if ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"[acoustic] resumed from step {int(state.step)}")
+    # place the whole state on the mesh: params per TP rules, the rest
+    # replicated (restored arrays arrive committed to a single device, which
+    # would conflict with the data-sharded batch under jit)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
     state = state._replace(
-        params=jax.device_put(state.params, param_sharding_rules(state.params, mesh))
+        params=jax.device_put(state.params, param_sharding_rules(state.params, mesh)),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), state.opt_state
+        ),
+        step=jax.device_put(state.step, repl),
     )
 
     valid_dataset = AcousticDataset(
@@ -261,6 +272,94 @@ def cmd_vocoder(args):
         epoch += 1
     ckpt.save(step, jax.device_get(state), wait=True)
     print(f"[vocoder] done at step {step}")
+
+
+def cmd_e2e(args):
+    """Joint acoustic+vocoder GAN fine-tune (the combined loop the reference
+    logged via e2e_logger but never shipped; train/e2e_step.py)."""
+    from ..audio.wav import read_wav
+    from ..config import default_config, load_config
+    from ..data import AcousticDataset, make_acoustic_batches, split_train_valid
+    from ..models import FastSpeech2, build_generator
+    from ..nn import FeatureStats
+    from ..text import symbols
+    from ..train import acoustic_optimizer, gan_optimizer
+    from ..train.checkpoint import CheckpointManager
+    from ..train.e2e_step import E2EBatch, init_e2e_state, make_e2e_train_step
+    from ..utils.logging import E2ELogger
+
+    config = load_config(args.config) if args.config else default_config()
+    entries, stats, speakers = _load_workdir(args.workdir)
+    train_entries, _ = split_train_valid(entries, seed=config.train.seed)
+    dataset = AcousticDataset(
+        train_entries, speakers, stats, config,
+        prior_cache_dir=os.path.join(args.workdir, "priors"),
+    )
+    wav_by_path = {}
+
+    model = FastSpeech2(
+        config=config.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=len(speakers),
+        n_mel_channels=config.audio.mel.channels,
+        stats=FeatureStats.from_dict(stats),
+    )
+    gen = build_generator(config, "hifigan")
+    am_opt = acoustic_optimizer(
+        config.train.fastspeech2_optimizer, config.models.fastspeech2.encoder_hidden
+    )
+    g_opt = gan_optimizer(config.train.hifigan_optimizer)
+    d_opt = gan_optimizer(config.train.hifigan_optimizer)
+    n_words = max(config.models.fastspeech2.max_seq_len, 256)
+    step_fn = jax.jit(
+        make_e2e_train_step(model, gen, config, am_opt, g_opt, d_opt, n_words)
+    )
+    state = init_e2e_state(
+        model, gen, config, am_opt, g_opt, d_opt, jax.random.PRNGKey(config.train.seed)
+    )
+    ckpt = CheckpointManager(os.path.join(args.workdir, "e2e_ckpt"))
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"[e2e] resumed from step {int(state.step)}")
+
+    logger = E2ELogger(os.path.join(args.workdir, "logs", "e2e"))
+    hop = config.audio.stft.hop_length
+    rng = jax.random.PRNGKey(config.train.seed)
+    step = int(state.step)
+    epoch = 0
+    t0 = time.time()
+    while step < args.steps:
+        for batch, paths in make_acoustic_batches(
+            dataset, config.train.batch_size, seed=config.train.seed + epoch,
+            with_paths=True,
+        ):
+            T = batch.mel.shape[1]
+            audio = np.zeros((batch.mel.shape[0], T * hop), np.float32)
+            for row, p in enumerate(paths):
+                if p not in wav_by_path:
+                    wav_by_path[p], _ = read_wav(p)
+                w = wav_by_path[p][: T * hop]
+                audio[row, : len(w)] = w
+            eb = E2EBatch(
+                acoustic=jax.tree_util.tree_map(jnp.asarray, batch),
+                audio=jnp.asarray(audio),
+            )
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, eb, sub)
+            step = int(state.step)
+            if step % config.train.log_step == 0:
+                logger.log(step, {k: float(v) for k, v in metrics.items()})
+                print(
+                    f"[e2e] step {step} total={float(metrics['total']):.3f} "
+                    f"d={float(metrics['discriminator']):.3f} ({time.time() - t0:.0f}s)"
+                )
+            if step % args.ckpt_every == 0:
+                ckpt.save(step, jax.device_get(state))
+            if step >= args.steps:
+                break
+        epoch += 1
+    ckpt.save(step, jax.device_get(state), wait=True)
+    print(f"[e2e] done at step {step}")
 
 
 def cmd_generate_mels(args):
@@ -421,6 +520,13 @@ def main(argv=None):
     pv.add_argument("--istft", action="store_true")
     pv.add_argument("--predicted-mels", action="store_true")
     pv.set_defaults(fn=cmd_vocoder)
+
+    pj = sub.add_parser("e2e")
+    pj.add_argument("--workdir", required=True)
+    pj.add_argument("--config")
+    pj.add_argument("--steps", type=int, default=100000)
+    pj.add_argument("--ckpt-every", type=int, default=5000)
+    pj.set_defaults(fn=cmd_e2e)
 
     pg = sub.add_parser("generate-mels")
     pg.add_argument("--workdir", required=True)

@@ -72,6 +72,25 @@ def test_full_cli_pipeline(corpus, tiny_config_path, tmp_path):
         "--steps", "2", "--ckpt-every", "2",
     ])
 
+    # resume: a second acoustic run continues from the saved step
+    main([
+        "acoustic", "--workdir", workdir, "--config", tiny_config_path,
+        "--steps", "6", "--ckpt-every", "2",
+    ])
+
+    # joint e2e fine-tune a couple of steps
+    main([
+        "e2e", "--workdir", workdir, "--config", tiny_config_path,
+        "--steps", "2", "--ckpt-every", "2",
+    ])
+
+    # predicted mels for vocoder fine-tuning
+    main(["generate-mels", "--workdir", workdir, "--config", tiny_config_path])
+    root = corpus
+    import glob
+
+    assert glob.glob(os.path.join(root, "predicted_mels", "*.npy"))
+
     bundle = str(tmp_path / "bundle")
     main(["export", "--workdir", workdir, "--output", bundle, "--config", tiny_config_path])
     assert os.path.exists(os.path.join(bundle, "acoustic.msgpack"))

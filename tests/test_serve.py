@@ -123,6 +123,27 @@ def test_speaker_conditioning_changes_output(engine):
     assert len(a0) != len(a1) or not np.array_equal(a0[:n], a1[:n])
 
 
+def test_istft_vocoder_engine():
+    """Serving with the iSTFTNet vocoder kind (config model_config.yaml istft)."""
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    small = fs2.replace(
+        encoder_layers=1, decoder_layers=1, encoder_hidden=64, decoder_hidden=64,
+        building_block=fs2.building_block.replace(
+            transformer=fs2.building_block.transformer.replace(conv_filter_size=64)
+        ),
+        postnet=fs2.postnet.replace(embedding_dim=64, conv_layers=2),
+    )
+    istft = cfg.models.istft.replace(
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    cfg = cfg.replace(models=cfg.models.replace(fastspeech2=small, istft=istft))
+    eng = SynthesisEngine.from_random(seed=0, config=cfg, vocoder_kind="istft")
+    audio = eng.synthesize("xin chào", silence_distance=0)
+    assert audio.dtype == np.int16 and len(audio) > 0
+
+
 def test_speed_change_array():
     sr = 22050
     t = np.arange(sr) / sr
