@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-SENTENCES = [
+SENTENCES = 2 * [
     "hôm nay trời đẹp chúng ta cùng nhau đi dạo quanh hồ gươm nhé",
     "việt nam là một đất nước xinh đẹp với nhiều danh lam thắng cảnh nổi tiếng",
     "công nghệ trí tuệ nhân tạo đang thay đổi cách chúng ta sống và làm việc",
@@ -48,10 +48,42 @@ SENTENCES = [
 FRAMES_PER_PHONEME = 6
 
 
+_PROGRAMS = {}
+
+
+def _fused_with_durations(engine, L, T):
+    """One dispatch: stage1 + injected durations + stage2 + vocoder
+    (the engine's fused serving path, with the duration override for a
+    realistic audio-length denominator)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (id(engine), L, T)
+    if key not in _PROGRAMS:
+        from e2e_tts_tpu.models.vocoder import istft_to_audio
+
+        def fn(aparams, vparams, speakers, texts, txt_lens, durs):
+            x, _pred = engine.acoustic.apply(
+                aparams, speakers, texts, txt_lens,
+                method=engine.acoustic.synthesize_stage1,
+            )
+            mel, mel_lens = engine.acoustic.apply(
+                aparams, x, durs, max_mel_len=T,
+                method=engine.acoustic.synthesize_stage2,
+            )
+            audio = engine.vocoder.apply(vparams, mel)
+            audio_i16 = jnp.clip(
+                audio.astype(jnp.float32) * 32767.0, -32768, 32767
+            ).astype(jnp.int16)
+            return audio_i16, mel_lens
+
+        _PROGRAMS[key] = jax.jit(fn)
+    return _PROGRAMS[key]
+
+
 def synth_batch(engine, seqs, rng):
     """One serving pass over pre-tokenized sequences with injected realistic
-    durations; returns (wall_audio list, mel frame total)."""
-    import jax
+    durations; returns (stitched waveform, mel frame total)."""
     import jax.numpy as jnp
 
     from e2e_tts_tpu.serve.engine import TEXT_BUCKETS, _bucket_for, _mel_bucket
@@ -73,10 +105,6 @@ def synth_batch(engine, seqs, rng):
                 lens[row] = len(seqs[i])
             spk = np.zeros((B,), np.int32)
 
-            x, _pred_dur = engine._stage1(L)(
-                engine.acoustic_params, spk, texts, lens, 1.0, 1.0, 1.0
-            )
-            # realistic duration injection (same shapes/FLOPs as predicted)
             jitter = rng.randint(-1, 2, size=(B, L))
             durs = np.where(
                 np.arange(L)[None, :] < lens[:, None],
@@ -84,9 +112,9 @@ def synth_batch(engine, seqs, rng):
                 0,
             ).astype(np.int32)
             T = _mel_bucket(int(durs.sum(1).max()))
-            audio, mel_lens = engine._stage2(L, T)(
+            audio, mel_lens = _fused_with_durations(engine, L, T)(
                 engine.acoustic_params, engine.vocoder_params,
-                x, jnp.asarray(durs), 1.0, 1.0,
+                spk, texts, lens, jnp.asarray(durs),
             )
             audio_np = np.asarray(audio)
             mel_np = np.asarray(mel_lens)
@@ -105,7 +133,7 @@ def main():
     from e2e_tts_tpu.serve import SynthesisEngine
     from e2e_tts_tpu.text import text_to_sequence
 
-    engine = SynthesisEngine.from_random(seed=0, dtype=jnp.bfloat16, batch_size=16)
+    engine = SynthesisEngine.from_random(seed=0, dtype=jnp.bfloat16, batch_size=32)
     seqs = [np.asarray(text_to_sequence(s), np.int32) for s in SENTENCES]
     rng = np.random.RandomState(0)
 

@@ -156,6 +156,38 @@ class SynthesisEngine:
             self.n_programs_compiled += 1
         return self._stage2_cache[key]
 
+    def _fused(self, L: int, T: int):
+        """One program: stage1 + stage2 + vocoder.  Avoids the duration
+        device->host sync and one dispatch per batch; the engine falls back
+        to the two-stage path when predicted durations overflow T."""
+        key = ("fused", L, T)
+        if key not in self._stage2_cache:
+            def fn(aparams, vparams, speakers, texts, txt_lens, p, e, d):
+                x, durations = self.acoustic.apply(
+                    aparams, speakers, texts, txt_lens,
+                    p_control=p, e_control=e, d_control=d,
+                    method=self.acoustic.synthesize_stage1,
+                )
+                mel, mel_lens = self.acoustic.apply(
+                    aparams, x, durations, max_mel_len=T,
+                    p_control=p, e_control=e,
+                    method=self.acoustic.synthesize_stage2,
+                )
+                if self.vocoder_kind == "hifigan":
+                    audio = self.vocoder.apply(vparams, mel)
+                else:
+                    spec, phase = self.vocoder.apply(vparams, mel)
+                    audio = istft_to_audio(spec, phase, self.config.models.istft)
+                audio_i16 = jnp.clip(
+                    audio.astype(jnp.float32) * 32767.0, -32768, 32767
+                ).astype(jnp.int16)
+                total_dur = jnp.sum(durations, axis=-1)
+                return audio_i16, mel_lens, total_dur
+
+            self._stage2_cache[key] = jax.jit(fn)
+            self.n_programs_compiled += 1
+        return self._stage2_cache[key]
+
     # --- public API --------------------------------------------------------
 
     def synthesize(
@@ -208,17 +240,34 @@ class SynthesisEngine:
                     lens[row] = len(seqs[i])
                 speakers = np.full((B,), speaker, np.int32)
 
-                x, durations = self._stage1(L)(
-                    self.acoustic_params, speakers, texts, lens, p, e, d
-                )
-                dur_np = np.asarray(durations)
-                mel_total = dur_np.sum(axis=1)
-                T = _mel_bucket(int(mel_total[: len(batch_idx)].max()))
-                audio, mel_lens = self._stage2(L, T)(
-                    self.acoustic_params, self.vocoder_params, x, durations, p, e
-                )
-                audio_np = np.asarray(audio)
-                mel_lens_np = np.asarray(mel_lens)
+                # fast path: one fused dispatch at an estimated mel bucket
+                # (~8 frames/phoneme covers typical speech); overflow falls
+                # back to the exact two-stage path
+                T_est = _mel_bucket(8 * L) if d <= 1.0 else None
+                audio_np = mel_lens_np = None
+                if T_est is not None:
+                    audio, mel_lens, total_dur = self._fused(L, T_est)(
+                        self.acoustic_params, self.vocoder_params,
+                        speakers, texts, lens, p, e, d,
+                    )
+                    total_np = np.asarray(total_dur)
+                    if int(total_np[: len(batch_idx)].max()) <= T_est:
+                        audio_np = np.asarray(audio)
+                        mel_lens_np = np.asarray(mel_lens)
+
+                if audio_np is None:
+                    x, durations = self._stage1(L)(
+                        self.acoustic_params, speakers, texts, lens, p, e, d
+                    )
+                    dur_np = np.asarray(durations)
+                    mel_total = dur_np.sum(axis=1)
+                    T = _mel_bucket(int(mel_total[: len(batch_idx)].max()))
+                    audio, mel_lens = self._stage2(L, T)(
+                        self.acoustic_params, self.vocoder_params, x, durations, p, e
+                    )
+                    audio_np = np.asarray(audio)
+                    mel_lens_np = np.asarray(mel_lens)
+
                 for row, i in enumerate(batch_idx):
                     n = int(mel_lens_np[row]) * self.hop_length
                     results[i] = audio_np[row, :n]
