@@ -122,12 +122,16 @@ class FastSpeech2(nn.Module):
     n_speakers: int
     n_mel_channels: int
     stats: FeatureStats
+    # Pallas fused attention for the transformer family (inference only)
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         cfg = self.config
-        self.encoder = build_encoder(cfg, self.n_symbols, dtype=self.dtype)
-        self.decoder = build_decoder(cfg, dtype=self.dtype)
+        self.encoder = build_encoder(
+            cfg, self.n_symbols, dtype=self.dtype, use_flash=self.use_flash
+        )
+        self.decoder = build_decoder(cfg, dtype=self.dtype, use_flash=self.use_flash)
 
         vp = cfg.variance.variance_predictor
         ve = cfg.variance.variance_embedding

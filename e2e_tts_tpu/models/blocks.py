@@ -17,16 +17,6 @@ import jax.numpy as jnp
 
 from ..config import FastSpeech2Config
 
-# Fused Pallas attention for the transformer family: enabled on TPU for the
-# frame-rate decoder path (no effect on parameters). Toggle via set_use_flash.
-USE_FLASH_ATTENTION = False
-
-
-def set_use_flash(enabled: bool):
-    global USE_FLASH_ATTENTION
-    USE_FLASH_ATTENTION = bool(enabled)
-
-
 _ENCODERS: Dict[str, Callable] = {}
 _DECODERS: Dict[str, Callable] = {}
 
@@ -40,24 +30,34 @@ def available_blocks():
     return sorted(_ENCODERS)
 
 
-def build_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype=jnp.float32):
+def build_encoder(
+    cfg: FastSpeech2Config, n_symbols: int, dtype=jnp.float32, use_flash: bool = False
+):
     bt = cfg.building_block.block_type
     if bt not in _ENCODERS:
         raise ValueError(f"unknown block_type {bt!r}; have {available_blocks()}")
+    if bt == "transformer":
+        return _ENCODERS[bt](cfg, n_symbols, dtype, use_flash)
     return _ENCODERS[bt](cfg, n_symbols, dtype)
 
 
-def build_decoder(cfg: FastSpeech2Config, dtype=jnp.float32):
+def build_decoder(cfg: FastSpeech2Config, dtype=jnp.float32, use_flash: bool = False):
+    """use_flash engages the Pallas fused attention (inference only — the
+    kernel has no custom VJP yet); only the transformer family consumes it."""
     bt = cfg.building_block.block_type
     if bt not in _DECODERS:
         raise ValueError(f"unknown block_type {bt!r}; have {available_blocks()}")
+    if bt == "transformer":
+        return _DECODERS[bt](cfg, dtype, use_flash)
     return _DECODERS[bt](cfg, dtype)
 
 
 # --- transformer (default) -------------------------------------------------
 
 
-def _transformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
+def _transformer_encoder(
+    cfg: FastSpeech2Config, n_symbols: int, dtype, use_flash: bool = False
+):
     from ..nn.transformer import TransformerEncoder
 
     b = cfg.building_block.transformer
@@ -70,13 +70,13 @@ def _transformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
         kernel_sizes=tuple(b.conv_kernel_size),
         dropout=b.encoder_dropout,
         max_seq_len=cfg.max_seq_len,
-        use_flash=USE_FLASH_ATTENTION,
+        use_flash=use_flash,
         dtype=dtype,
         name="encoder",
     )
 
 
-def _transformer_decoder(cfg: FastSpeech2Config, dtype):
+def _transformer_decoder(cfg: FastSpeech2Config, dtype, use_flash: bool = False):
     from ..nn.transformer import TransformerDecoder
 
     b = cfg.building_block.transformer
@@ -88,7 +88,7 @@ def _transformer_decoder(cfg: FastSpeech2Config, dtype):
         kernel_sizes=tuple(b.conv_kernel_size),
         dropout=b.decoder_dropout,
         max_seq_len=cfg.max_seq_len,
-        use_flash=USE_FLASH_ATTENTION,
+        use_flash=use_flash,
         dtype=dtype,
         name="decoder",
     )

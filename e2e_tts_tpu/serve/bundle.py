@@ -26,6 +26,7 @@ def save_bundle(
     speakers: Dict[str, int],
     stats: FeatureStats,
     vocoder_kind: str = "hifigan",
+    foreign_dict: Dict = None,
 ):
     os.makedirs(bundle_dir, exist_ok=True)
     save_config(config, os.path.join(bundle_dir, "config.yaml"))
@@ -35,6 +36,11 @@ def save_bundle(
         json.dump(stats.to_dict(), f, indent=1)
     with open(os.path.join(bundle_dir, "meta.json"), "w") as f:
         json.dump({"vocoder_kind": vocoder_kind}, f)
+    if foreign_dict:
+        with open(
+            os.path.join(bundle_dir, "foreign_words.json"), "w", encoding="utf8"
+        ) as f:
+            json.dump(foreign_dict, f, ensure_ascii=False, indent=1)
     with open(os.path.join(bundle_dir, "acoustic.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(acoustic_params))
     with open(os.path.join(bundle_dir, "vocoder.msgpack"), "wb") as f:
@@ -52,6 +58,11 @@ def load_bundle(bundle_dir: str) -> Tuple:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             vocoder_kind = json.load(f).get("vocoder_kind", "hifigan")
+    fd_path = os.path.join(bundle_dir, "foreign_words.json")
+    foreign_dict = {}
+    if os.path.exists(fd_path):
+        with open(fd_path, encoding="utf8") as f:
+            foreign_dict = json.load(f)
 
     # Rebuild template params to restore structure, then overwrite bytes.
     import jax
@@ -78,4 +89,4 @@ def load_bundle(bundle_dir: str) -> Tuple:
         aparams = serialization.from_bytes(template_a, f.read())
     with open(os.path.join(bundle_dir, "vocoder.msgpack"), "rb") as f:
         vparams = serialization.from_bytes(template_v, f.read())
-    return config, aparams, vparams, speakers, stats, vocoder_kind
+    return config, aparams, vparams, speakers, stats, vocoder_kind, foreign_dict

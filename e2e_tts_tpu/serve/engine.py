@@ -83,12 +83,16 @@ class SynthesisEngine:
         self.sample_rate = config.audio.signal.sampling_rate
         self.max_len = 300  # reference chunk budget (src/api/utils.py:27)
 
+        # Pallas flash attention for the decoder on real TPUs (inference
+        # only; 6x faster than XLA attention at T=512 on v5e)
+        use_flash = jax.default_backend() == "tpu"
         self.acoustic = FastSpeech2(
             config=config.models.fastspeech2,
             n_symbols=len(symbols),
             n_speakers=max(len(speakers), 1),
             n_mel_channels=config.audio.mel.channels,
             stats=stats,
+            use_flash=use_flash,
             dtype=dtype,
         )
         self.acoustic_params = acoustic_params
@@ -332,7 +336,10 @@ class SynthesisEngine:
         src/api/utils.py:34-36, plus serialized params)."""
         from .bundle import load_bundle
 
-        config, aparams, vparams, speakers, stats, vocoder_kind = load_bundle(bundle_dir)
+        config, aparams, vparams, speakers, stats, vocoder_kind, foreign_dict = (
+            load_bundle(bundle_dir)
+        )
+        kw.setdefault("foreign_dict", foreign_dict)
         return cls(
             config, aparams, vparams, speakers, stats,
             vocoder_kind=vocoder_kind, dtype=dtype, **kw,
@@ -349,4 +356,5 @@ class SynthesisEngine:
             self.speakers,
             self.stats,
             self.vocoder_kind,
+            foreign_dict=self.foreign_dict,
         )
