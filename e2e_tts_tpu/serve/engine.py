@@ -83,8 +83,8 @@ class SynthesisEngine:
         self.sample_rate = config.audio.signal.sampling_rate
         self.max_len = 300  # reference chunk budget (src/api/utils.py:27)
 
-        # Pallas flash attention for the decoder on real TPUs (inference
-        # only; 6x faster than XLA attention at T=512 on v5e)
+        # Pallas flash attention for the decoder on real TPUs
+        # (inference only; the kernel has no VJP)
         use_flash = jax.default_backend() == "tpu"
         self.acoustic = FastSpeech2(
             config=config.models.fastspeech2,
