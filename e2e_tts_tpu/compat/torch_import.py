@@ -109,12 +109,28 @@ def convert_acoustic(
     params["mel_linear"] = _lin(sd, "mel_linear")
     params["speaker_emb"] = {"embedding": sd["speaker_emb.weight"]}
 
-    va: Dict = {
-        "duration_predictor": {
+    if learn_alignment:
+        dur = {
             "stack": _predictor_stack(
                 sd, "variance_adaptor.duration_predictor", dur_layers
             )
-        },
+        }
+    else:
+        # supervised tree: ming024-style predictor
+        # (supervised layers.py:240-297, Sequential named conv1d_i/layer_norm_i)
+        dp = "variance_adaptor.duration_predictor"
+        dur = {
+            "stack": {
+                "conv_0": _conv1d(sd, f"{dp}.conv_layer.conv1d_1.conv"),
+                "ln_0": _ln(sd, f"{dp}.conv_layer.layer_norm_1"),
+                "conv_1": _conv1d(sd, f"{dp}.conv_layer.conv1d_2.conv"),
+                "ln_1": _ln(sd, f"{dp}.conv_layer.layer_norm_2"),
+                "linear": _lin(sd, f"{dp}.linear_layer"),
+            }
+        }
+
+    va: Dict = {
+        "duration_predictor": dur,
         "pitch_predictor": {
             "pos_alpha": sd["variance_adaptor.pitch_predictor.pos_embed_alpha"],
             "stack": _predictor_stack(

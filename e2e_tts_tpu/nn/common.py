@@ -7,7 +7,7 @@ True=valid (see ops.masking).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

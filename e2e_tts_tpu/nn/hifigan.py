@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .common import WNConv1d, WNConvTranspose1d

@@ -17,7 +17,7 @@ per-round log-normalizers.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ for unsupervised (reference keeps two near-duplicate trees, SURVEY §2.3).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax
@@ -98,6 +98,8 @@ class ConvPredictorStack(nn.Module):
     dropout: float
     padding: str = "SAME"
     head_bias_init: float = 0.0
+    ln_eps: float = 1e-12
+    mask_between: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -109,9 +111,9 @@ class ConvPredictorStack(nn.Module):
                 dtype=self.dtype, name=f"conv_{i}",
             )(x)
             x = nn.relu(x)
-            x = LayerNorm(dtype=self.dtype, name=f"ln_{i}")(x)
+            x = LayerNorm(eps=self.ln_eps, dtype=self.dtype, name=f"ln_{i}")(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-            if mask is not None:
+            if mask is not None and self.mask_between:
                 x = x * mask[..., None]
         return nn.Dense(
             self.odim,
@@ -122,13 +124,21 @@ class ConvPredictorStack(nn.Module):
 
 
 class DurationPredictor(nn.Module):
-    """Log-domain duration predictor (reference layers.py:372-420)."""
+    """Log-domain duration predictor.
+
+    Two architectures matching the reference's two trees:
+    - style="espnet" (unsupervised tree, layers.py:372-420): channels =
+      n_mel, per-layer masking, LN eps 1e-12;
+    - style="ming024" (supervised tree, supervised layers.py:240-297):
+      channels = filter_size, no inter-layer masking, LN eps 1e-5.
+    """
 
     n_chans: int
     n_layers: int = 2
     kernel_size: int = 3
     dropout: float = 0.5
     padding: str = "SAME"
+    style: str = "espnet"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -138,8 +148,11 @@ class DurationPredictor(nn.Module):
         # and relies on the aligner to bootstrap durations)
         out = ConvPredictorStack(
             self.n_chans, self.n_layers, self.kernel_size, 1, self.dropout,
-            self.padding, head_bias_init=1.7918, dtype=self.dtype, name="stack",
-        )(x, mask, deterministic)
+            self.padding, head_bias_init=1.7918,
+            ln_eps=1e-12 if self.style == "espnet" else 1e-5,
+            mask_between=self.style == "espnet",
+            dtype=self.dtype, name="stack",
+        )(x, mask if self.style == "espnet" else None, deterministic)
         return (out * mask[..., None])[..., 0]
 
 
@@ -249,14 +262,28 @@ class VarianceAdaptor(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.duration_predictor = DurationPredictor(
-            n_chans=self.n_mel_channels,
-            n_layers=self.dur_layers,
-            kernel_size=self.dur_kernel,
-            dropout=self.dropout,
-            padding=self.ffn_padding,
-            dtype=self.dtype,
-        )
+        # each reference tree ships its own duration-predictor architecture;
+        # follow the tree that matches the duration mode
+        if self.learn_alignment:
+            self.duration_predictor = DurationPredictor(
+                n_chans=self.n_mel_channels,
+                n_layers=self.dur_layers,
+                kernel_size=self.dur_kernel,
+                dropout=self.dropout,
+                padding=self.ffn_padding,
+                style="espnet",
+                dtype=self.dtype,
+            )
+        else:
+            self.duration_predictor = DurationPredictor(
+                n_chans=self.filter_size,
+                n_layers=2,
+                kernel_size=self.dur_kernel,
+                dropout=self.dropout,
+                padding=self.ffn_padding,
+                style="ming024",
+                dtype=self.dtype,
+            )
         if self.learn_alignment:
             self.aligner = AlignmentEncoder(
                 n_att_channels=self.n_mel_channels,

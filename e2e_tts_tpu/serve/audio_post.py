@@ -9,7 +9,6 @@ atempo does.  If an ffmpeg binary is present it is preferred for bit parity.
 
 from __future__ import annotations
 
-import os
 import shutil
 import subprocess
 from typing import Optional

@@ -16,16 +16,13 @@ batch, with a TPU-native design:
 
 from __future__ import annotations
 
-import json
-import os
-from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, default_config, load_config, save_config
+from ..config import Config, default_config
 from ..models.acoustic import FastSpeech2
 from ..models.vocoder import build_generator, istft_to_audio
 from ..nn.variance import FeatureStats
@@ -48,14 +45,6 @@ def _bucket_for(n: int, buckets: Sequence[int]) -> int:
 def _mel_bucket(n: int) -> int:
     b = ((max(n, 1) + MEL_BUCKET_STEP - 1) // MEL_BUCKET_STEP) * MEL_BUCKET_STEP
     return min(b, MAX_MEL_LEN)
-
-
-@dataclass
-class EngineOutput:
-    audio: np.ndarray          # int16 waveform
-    sample_rate: int
-    mel_lens: List[int]
-    n_programs_compiled: int
 
 
 class SynthesisEngine:

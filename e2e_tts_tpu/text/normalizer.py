@@ -12,7 +12,7 @@ normalizer with the reference's endpoint semantics is available for parity.
 from __future__ import annotations
 
 import re
-from typing import Callable, Optional
+from typing import Callable
 
 # --- Vietnamese number reading -------------------------------------------
 

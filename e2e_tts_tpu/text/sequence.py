@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from .g2p import phonemize
 from .symbols import ID_TO_SYMBOL, SYMBOL_TO_ID

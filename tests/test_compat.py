@@ -122,6 +122,130 @@ def test_acoustic_parity_with_converted_weights(ref_modules):
 
 
 @requires_reference
+def test_supervised_acoustic_parity(ref_modules):
+    """The supervised (MFA-duration) reference tree through the same
+    converter: durations bit-equal, postnet mel < 1e-3 MAE."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    import supervised_fastspeech2 as ref_sup
+
+    from e2e_tts_tpu.compat import convert_acoustic
+    from e2e_tts_tpu.config import default_config
+    from e2e_tts_tpu.models import FastSpeech2
+    from e2e_tts_tpu.nn import FeatureStats
+    from e2e_tts_tpu.text import symbols
+
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    sup_cfg = fs2.replace(
+        encoder_layers=2,
+        decoder_layers=2,
+        variance=fs2.variance.replace(
+            duration_modelling=fs2.variance.duration_modelling.replace(
+                learn_alignment=False
+            )
+        ),
+    )
+    stats = FeatureStats()
+    tmodel = ref_sup.SupervisedFastSpeech2(
+        n_symbols=len(symbols),
+        n_speakers=2,
+        n_channels=80,
+        config=sup_cfg.to_dict(),
+        stats=stats.to_dict(),
+        device=torch.device("cpu"),
+    ).eval()
+
+    B, L = 2, 13
+    rng = np.random.RandomState(3)
+    texts = rng.randint(4, len(symbols), (B, L)).astype(np.int64)
+    txt_lens = np.array([13, 9])
+    speakers = np.array([0, 1])
+
+    with torch.no_grad():
+        # supervised tree signature: (speaker, texts, src_lens, max_src_len)
+        (t_mel, t_postnet, t_dur), t_mel_lens = tmodel.inference(
+            torch.from_numpy(speakers),
+            torch.from_numpy(texts),
+            torch.from_numpy(txt_lens),
+            L,
+        )
+    T = int(t_mel_lens.numpy().max())
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_acoustic(
+        sd, encoder_layers=2, decoder_layers=2, learn_alignment=False
+    )
+    jmodel = FastSpeech2(
+        config=sup_cfg, n_symbols=len(symbols), n_speakers=2,
+        n_mel_channels=80, stats=stats,
+    )
+    out = jmodel.apply(
+        variables,
+        speakers=jnp.asarray(speakers, jnp.int32),
+        texts=jnp.asarray(texts, jnp.int32),
+        txt_lens=jnp.asarray(txt_lens, jnp.int32),
+        max_mel_len=T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["mel_lens"]), t_mel_lens.numpy()
+    )
+    j_post = np.asarray(out["postnet_mel"])
+    for b in range(B):
+        n = int(t_mel_lens.numpy()[b])
+        mae = np.abs(j_post[b, :n] - t_postnet.numpy()[b, :n]).mean()
+        assert mae < 1e-3, f"item {b}: supervised postnet MAE {mae}"
+
+
+@requires_reference
+def test_istft_generator_parity(ref_modules):
+    """iSTFTNet generator: converted weights produce the same spec/phase
+    and the inverse transform matches torch.istft end to end."""
+    _, ref_voc = ref_modules
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.compat.torch_import import convert_hifigan
+    from e2e_tts_tpu.config import default_config
+    from e2e_tts_tpu.models import build_generator
+    from e2e_tts_tpu.models.vocoder import istft_to_audio
+
+    cfg = default_config()
+    icfg_d = cfg.models.istft.to_dict()
+    icfg_d["resblock"] = "1"  # reference iSTFT compares against the string
+    tgen = ref_voc.iSTFT(config=icfg_d).eval()
+
+    rng = np.random.RandomState(5)
+    mel = rng.randn(1, 80, 20).astype(np.float32) * 0.5
+    with torch.no_grad():
+        t_spec, t_phase = tgen(torch.from_numpy(mel))
+
+    sd = {k: v.numpy() for k, v in tgen.state_dict().items()}
+    params = convert_hifigan(sd, n_upsamples=2)
+    jgen = build_generator(cfg, "istft")
+    j_spec, j_phase = jgen.apply(params, jnp.asarray(mel.transpose(0, 2, 1)))
+
+    assert np.abs(np.asarray(j_spec) - t_spec.numpy()).max() < 1e-3
+    assert np.abs(np.asarray(j_phase) - t_phase.numpy()).max() < 1e-4
+
+    # full audio path: our inverse STFT on torch's spec/phase vs torch.istft
+    j_audio = np.asarray(
+        istft_to_audio(jnp.asarray(t_spec.numpy()), jnp.asarray(t_phase.numpy()),
+                       cfg.models.istft)
+    )
+    t_audio = torch.istft(
+        t_spec * torch.exp(t_phase * 1j),
+        n_fft=cfg.models.istft.gen_istft_n_fft,
+        hop_length=cfg.models.istft.gen_istft_hop_size,
+        win_length=cfg.models.istft.gen_istft_win_size,
+        window=torch.hann_window(cfg.models.istft.gen_istft_win_size),
+    ).numpy()
+    n = min(j_audio.shape[-1], t_audio.shape[-1])
+    assert np.abs(j_audio[..., :n] - t_audio[..., :n]).max() < 1e-4
+
+
+@requires_reference
 def test_hifigan_parity_with_converted_weights(ref_modules):
     _, ref_voc = ref_modules
     import jax.numpy as jnp
