@@ -88,8 +88,11 @@ class SynthesisEngine:
         self.vocoder = build_generator(config, vocoder_kind, dtype=dtype)
         self.vocoder_params = vocoder_params
 
+        import threading
+
         self._stage1_cache = {}
         self._stage2_cache = {}
+        self._cache_lock = threading.Lock()  # concurrent serving threads
         self.n_programs_compiled = 0
 
         upsample = 1
@@ -103,6 +106,10 @@ class SynthesisEngine:
     # --- program builders -------------------------------------------------
 
     def _stage1(self, L: int):
+        with self._cache_lock:
+            return self._stage1_locked(L)
+
+    def _stage1_locked(self, L: int):
         if L not in self._stage1_cache:
             def fn(params, speakers, texts, txt_lens, p, e, d):
                 return self.acoustic.apply(
@@ -121,6 +128,10 @@ class SynthesisEngine:
         return self._stage1_cache[L]
 
     def _stage2(self, L: int, T: int):
+        with self._cache_lock:
+            return self._stage2_locked(L, T)
+
+    def _stage2_locked(self, L: int, T: int):
         key = (L, T)
         if key not in self._stage2_cache:
             def fn(aparams, vparams, x, durations, p, e):
@@ -154,6 +165,10 @@ class SynthesisEngine:
         device->host sync and one dispatch per batch; the engine falls back
         to the two-stage path when predicted durations overflow T."""
         key = ("fused", L, T)
+        with self._cache_lock:
+            return self._fused_locked(key, L, T)
+
+    def _fused_locked(self, key, L: int, T: int):
         if key not in self._stage2_cache:
             def fn(aparams, vparams, speakers, texts, txt_lens, p, e, d):
                 x, durations = self.acoustic.apply(

@@ -178,10 +178,15 @@ def cmd_acoustic(args):
     step = int(state.step)
     epoch = 0
     t0 = time.time()
+    from ..utils.prefetch import prefetch_iterator
+
     with mesh:
         while step < args.steps:
-            for batch in make_acoustic_batches(
-                dataset, config.train.batch_size, seed=config.train.seed + epoch
+            for batch in prefetch_iterator(
+                make_acoustic_batches(
+                    dataset, config.train.batch_size, seed=config.train.seed + epoch
+                ),
+                size=2,
             ):
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.device_put(jnp.asarray(x), data_sh), batch
@@ -251,9 +256,12 @@ def cmd_vocoder(args):
     step = int(state.step)
     epoch = 0
     t0 = time.time()
+    from ..utils.prefetch import prefetch_iterator
+
     while step < args.steps:
-        for batch in make_vocoder_batches(
-            dataset, config.train.batch_size // 2, seed=epoch
+        for batch in prefetch_iterator(
+            make_vocoder_batches(dataset, config.train.batch_size // 2, seed=epoch),
+            size=2,
         ):
             batch = jax.tree_util.tree_map(jnp.asarray, batch)
             state, metrics = step_fn(state, batch)
