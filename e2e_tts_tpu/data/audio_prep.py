@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional
 
 import numpy as np
 from scipy.signal import resample_poly

@@ -254,7 +254,6 @@ class VocoderDataset:
 
     def __getitem__(self, i: int):
         from ..audio.wav import read_wav
-        from .features import utterance_paths
 
         wav_path = self.entries[i][0]
         audio, _ = read_wav(wav_path)

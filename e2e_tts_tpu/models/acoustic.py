@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ contract:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax.numpy as jnp
 

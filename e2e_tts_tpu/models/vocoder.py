@@ -8,12 +8,12 @@ on-device via audio.inverse_stft instead of torch.istft.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+
 
 import jax.numpy as jnp
 
 from ..audio.mel import inverse_stft
-from ..config import Config, HifiGanConfig, IstftNetConfig
+from ..config import Config, IstftNetConfig
 from ..nn.hifigan import HifiGanGenerator, IstftNetGenerator
 
 

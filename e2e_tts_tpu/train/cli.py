@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
