@@ -296,6 +296,40 @@ class SynthesisEngine:
             dummy = "la " * max(1, L // 3)
             self.synthesize(dummy, speaker_id=speaker_id)
 
+    def make_denoiser(self, mode: str = "zeros"):
+        """Bias denoiser for this engine's vocoder (models/denoiser.py);
+        apply to float audio via ``denoiser(audio, strength)``."""
+        from ..models.denoiser import Denoiser
+
+        def vocode_fn(mel):
+            if self.vocoder_kind == "hifigan":
+                return self.vocoder.apply(self.vocoder_params, mel)
+            spec, phase = self.vocoder.apply(self.vocoder_params, mel)
+            return istft_to_audio(spec, phase, self.config.models.istft)
+
+        return Denoiser(
+            vocode_fn,
+            n_mel_channels=self.config.audio.mel.channels,
+            n_fft=self.config.audio.stft.filter_length,
+            hop_length=self.hop_length,
+            win_length=self.config.audio.stft.win_length,
+            mode=mode,
+        )
+
+    def synthesize_denoised(
+        self, text, denoiser=None, strength: float = 0.05, **kw
+    ) -> np.ndarray:
+        """Synthesize then spectral-subtract the vocoder bias floor."""
+        if denoiser is None:
+            denoiser = self.make_denoiser()
+        audio = self.synthesize(text, **kw)
+        if len(audio) == 0:
+            return audio
+        f32 = audio.astype(np.float32) / 32768.0
+        den = np.asarray(denoiser(f32[None], strength)[0])
+        n = min(len(den), len(audio))
+        return np.clip(den[:n] * 32768.0, -32768, 32767).astype(np.int16)
+
     # --- constructors ------------------------------------------------------
 
     @classmethod

@@ -105,7 +105,6 @@ _ABBREVIATIONS = {
     "ubnd": "ủy ban nhân dân",
     "thcs": "trung học cơ sở",
     "thpt": "trung học phổ thông",
-    "vnd": "việt nam đồng",
     "km": "ki lô mét",
     "kg": "ki lô gam",
     "cm": "xen ti mét",
@@ -113,9 +112,16 @@ _ABBREVIATIONS = {
     "ml": "mi li lít",
     "tv": "ti vi",
     "%": "phần trăm",
+    "usd": "đô la",
+    "vnđ": "đồng",
+    "vnd": "việt nam đồng",
+    "đ": "đồng",
 }
 
 _UNITS_RE = re.compile(r"^(\d+(?:[.,]\d+)?)(%|km|kg|cm|mm|ml|m|g|l)$", re.IGNORECASE)
+_CURRENCY_RE = re.compile(r"^(\d[\d.]*)(đ|vnđ|vnd|usd|\$)$", re.IGNORECASE)
+_ORDINAL_RE = re.compile(r"^thứ$")
+_RANGE_RE = re.compile(r"^(\d+)-(\d+)$")
 _DATE_RE = re.compile(r"^(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?$")
 _TIME_RE = re.compile(r"^(\d{1,2})[:h](\d{2})?$")
 _NUM_RE = re.compile(r"^-?\d+$")
@@ -131,6 +137,16 @@ def _normalize_token(tok: str) -> str:
     low = tok.lower()
     if low in _ABBREVIATIONS:
         return _ABBREVIATIONS[low]
+    m = _CURRENCY_RE.match(low)
+    if m:
+        num, cur = m.groups()
+        words = {"đ": "đồng", "vnđ": "đồng", "vnd": "đồng",
+                 "usd": "đô la", "$": "đô la"}[cur]
+        return f"{number_to_words(int(num.replace('.', '')))} {words}"
+    m = _RANGE_RE.match(tok)
+    if m:
+        a, b = m.groups()
+        return f"{number_to_words(int(a))} đến {number_to_words(int(b))}"
     m = _DATE_RE.match(tok)
     if m:
         d, mth, y = m.groups()

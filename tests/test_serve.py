@@ -123,6 +123,23 @@ def test_speaker_conditioning_changes_output(engine):
     assert len(a0) != len(a1) or not np.array_equal(a0[:n], a1[:n])
 
 
+def test_synthesize_denoised(engine):
+    den = engine.make_denoiser()
+    audio = engine.synthesize_denoised(
+        "xin chào việt nam", denoiser=den, silence_distance=0
+    )
+    assert audio.dtype == np.int16 and len(audio) > 0
+
+
+def test_normalizer_currency_and_ranges():
+    from e2e_tts_tpu.text import normalize_text
+
+    out = normalize_text("giá 1.500.000đ hoặc 25 usd, khoảng 3-5 ngày")
+    assert "một triệu năm trăm nghìn đồng" in out
+    assert "hai mươi lăm đô la" in out
+    assert "ba đến năm" in out
+
+
 def test_istft_vocoder_engine():
     """Serving with the iSTFTNet vocoder kind (config model_config.yaml istft)."""
     cfg = default_config()
