@@ -2,14 +2,25 @@
 
 The reference wraps two native libraries for pitch: Praat/parselmouth
 ``to_pitch_ac`` for the f0 stream (src/tools/utils.py:46-78) and pyworld
-dio+stonemask for the interpolated pitch stream (utils.py:93-117).  Neither
-is available here, so this module ships a self-contained YIN estimator
-(de Cheveigné & Kawahara 2002) with the same interface contracts:
+dio+stonemask for the interpolated pitch stream (utils.py:93-117).  This
+module ships a self-contained YIN estimator (de Cheveigné & Kawahara 2002)
+with the same interface contracts, PLUS optional parity wrappers that
+reproduce the reference's exact extraction (padding quirks included) and
+are used automatically whenever parselmouth / pyworld are importable:
 
 - ``extract_f0``      f0 per mel frame, 0 where unvoiced, padded/truncated
                       to exactly ``mel_len`` frames.
 - ``extract_pitch``   f0 per frame with linear interpolation over unvoiced
                       regions (matching the pyworld path's post-processing).
+
+CHECKPOINT-MIGRATION CAVEAT: YIN is a numeric substitute, not an equivalent
+— Praat's autocorrelation method differs in voicing decisions and octave
+handling (tests/test_audio.py quantifies YIN at <1% median error on
+synthetic harmonics, but real-speech tracks diverge frame-by-frame).  A
+reference checkpoint trained on Praat f0 statistics will be mis-conditioned
+if served with YIN-derived stats: re-extract features (and stats.json) with
+the SAME backend the checkpoint was trained on — install parselmouth/
+pyworld to get the reference backends, or retrain on YIN features.
 
 These run once per utterance at dataset-preparation time; NumPy on host is
 the right tool (SURVEY.md §7 step 2).
@@ -121,31 +132,101 @@ def yin_f0(
     return f0
 
 
+def _praat_f0(
+    wav_data: np.ndarray, mel_len: int, sample_rate: int, hop_length: int
+):
+    """Reference-exact Praat f0 (utils.py:46-78), incl. the lpad/rpad
+    alignment fix-up.  Returns None when parselmouth is not installed."""
+    try:
+        import parselmouth
+    except ImportError:
+        return None
+    assert hop_length in (128, 256)
+    pad_size = 4 if hop_length == 128 else 2
+    f0 = (
+        parselmouth.Sound(np.asarray(wav_data, np.float64), sample_rate)
+        .to_pitch_ac(
+            time_step=hop_length / sample_rate,
+            voicing_threshold=0.5,
+            pitch_floor=80,
+            pitch_ceiling=750,
+        )
+        .selected_array["frequency"]
+    )
+    f0 = f0[: mel_len - 8]  # avoid negative rpad (reference comment)
+    lpad = pad_size - 2
+    rpad = mel_len - len(f0) - lpad
+    f0 = np.pad(f0, [[lpad, rpad]], mode="constant")
+    delta = mel_len - len(f0)
+    if delta > 0:
+        f0 = np.concatenate([f0, [f0[-1]] * delta], 0)
+    return f0[:mel_len]
+
+
+def _pyworld_pitch(
+    wav_data: np.ndarray, sample_rate: int, hop_length: int
+):
+    """Reference-exact pyworld dio+stonemask pitch (utils.py:93-117).
+    Returns None when pyworld is not installed."""
+    try:
+        import pyworld as pw
+    except ImportError:
+        return None
+    x = np.asarray(wav_data, np.float64)
+    pitch, t = pw.dio(x, sample_rate, frame_period=hop_length / sample_rate * 1000)
+    return pw.stonemask(x, pitch, t, sample_rate)
+
+
 def extract_f0(
     wav_data: np.ndarray,
     mel_len: int,
     sample_rate: int,
     hop_length: int,
     with_pitch: bool = False,
+    backend: str = "auto",
 ):
     """f0 stream aligned to mel frames (reference contract utils.py:46-78):
-    zero where unvoiced, length exactly ``mel_len``."""
-    f0 = yin_f0(wav_data, sample_rate, hop_length, fmin=80.0, fmax=750.0)
-    if len(f0) >= mel_len:
-        f0 = f0[:mel_len]
-    else:
-        f0 = np.pad(f0, (0, mel_len - len(f0)), mode="edge" if len(f0) else "constant")
+    zero where unvoiced, length exactly ``mel_len``.
+
+    backend: "auto" uses Praat when parselmouth is importable (numeric
+    parity with reference-trained checkpoints) and falls back to YIN;
+    "praat" requires parselmouth; "yin" forces the built-in estimator.
+    """
+    f0 = None
+    if backend in ("auto", "praat"):
+        f0 = _praat_f0(wav_data, mel_len, sample_rate, hop_length)
+        if f0 is None and backend == "praat":
+            raise ImportError("backend='praat' requires parselmouth")
+    if f0 is None:
+        f0 = yin_f0(wav_data, sample_rate, hop_length, fmin=80.0, fmax=750.0)
+        if len(f0) >= mel_len:
+            f0 = f0[:mel_len]
+        else:
+            f0 = np.pad(
+                f0, (0, mel_len - len(f0)), mode="edge" if len(f0) else "constant"
+            )
     if with_pitch:
         return f0, f0_to_coarse(f0)
     return f0
 
 
 def extract_pitch(
-    wav_data: np.ndarray, sample_rate: int, hop_length: int
+    wav_data: np.ndarray, sample_rate: int, hop_length: int,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Pitch stream with linear interpolation over unvoiced gaps
-    (reference contract utils.py:93-117)."""
-    pitch = yin_f0(wav_data, sample_rate, hop_length, fmin=71.0, fmax=800.0)
+    (reference contract utils.py:93-117).
+
+    backend: "auto" uses pyworld dio+stonemask when importable, else YIN;
+    "pyworld" requires pyworld; "yin" forces the built-in estimator.
+    """
+    pitch = None
+    if backend in ("auto", "pyworld"):
+        pitch = _pyworld_pitch(wav_data, sample_rate, hop_length)
+        if pitch is None and backend == "pyworld":
+            raise ImportError("backend='pyworld' requires pyworld")
+    if pitch is None:
+        pitch = yin_f0(wav_data, sample_rate, hop_length, fmin=71.0, fmax=800.0)
     nonzero = np.nonzero(pitch)[0]
     if len(nonzero) == 0:
         return pitch

@@ -51,9 +51,18 @@ class MelParams:
 
 @functools.lru_cache(maxsize=8)
 def _basis(p: MelParams) -> Tuple[np.ndarray, np.ndarray]:
+    # torch.stft center-pads a short window to n_fft (librosa pad_center
+    # semantics, reference stft.py); match that so win_length < n_fft configs
+    # broadcast correctly against the n_fft-long frames.
+    if p.win_length > p.n_fft:
+        raise ValueError(f"win_length {p.win_length} > n_fft {p.n_fft}")
+    window = hann_window(p.win_length)
+    if p.win_length < p.n_fft:
+        lpad = (p.n_fft - p.win_length) // 2
+        window = np.pad(window, (lpad, p.n_fft - p.win_length - lpad))
     return (
         mel_filterbank(p.sample_rate, p.n_fft, p.n_mels, p.fmin, p.fmax),
-        hann_window(p.win_length),
+        window,
     )
 
 

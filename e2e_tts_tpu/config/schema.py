@@ -308,6 +308,8 @@ class TrainConfig(_Base):
     log_step: int = 100
     grad_acc_step: int = 1
     grad_clip_thresh: float = 1.0
+    # bf16 compute with f32 master params/moments (flax casts per-op)
+    mixed_precision: bool = False
     load_mel_from_disk: bool = True
     external_model: str = "fastspeech2"
     fastspeech2_loss: LossConfig = field(default_factory=LossConfig)

@@ -122,7 +122,7 @@ class FastSpeech2(nn.Module):
     n_speakers: int
     n_mel_channels: int
     stats: FeatureStats
-    # Pallas fused attention for the transformer family (inference only)
+    # Pallas fused attention for the transformer family (fwd + custom VJP)
     use_flash: bool = False
     dtype: Any = jnp.float32
 

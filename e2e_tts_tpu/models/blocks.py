@@ -42,8 +42,8 @@ def build_encoder(
 
 
 def build_decoder(cfg: FastSpeech2Config, dtype=jnp.float32, use_flash: bool = False):
-    """use_flash engages the Pallas fused attention (inference only — the
-    kernel has no custom VJP yet); only the transformer family consumes it."""
+    """use_flash engages the Pallas fused attention (forward + custom VJP,
+    so training works too); only the transformer family consumes it."""
     bt = cfg.building_block.block_type
     if bt not in _DECODERS:
         raise ValueError(f"unknown block_type {bt!r}; have {available_blocks()}")

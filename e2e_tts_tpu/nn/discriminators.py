@@ -57,11 +57,15 @@ class WNConv2d(nn.Module):
 
 
 class PeriodDiscriminator(nn.Module):
-    """One period discriminator (reference layers.py:72-105)."""
+    """One period discriminator (reference layers.py:72-105).
+
+    ``channels`` defaults to the reference widths; dryruns/tests shrink it so
+    the GAN step stays cheap on virtual CPU meshes."""
 
     period: int
     kernel_size: int = 5
     stride: int = 3
+    channels: Tuple[int, ...] = (32, 128, 512, 1024)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -76,7 +80,7 @@ class PeriodDiscriminator(nn.Module):
 
         fmaps = []
         pad = ((self.kernel_size - 1) // 2, (self.kernel_size - 1) // 2)
-        for i, ch in enumerate((32, 128, 512, 1024)):
+        for i, ch in enumerate(self.channels):
             x = WNConv2d(
                 ch, (self.kernel_size, 1), (self.stride, 1),
                 (pad, (0, 0)), dtype=self.dtype, name=f"conv_{i}",
@@ -84,8 +88,8 @@ class PeriodDiscriminator(nn.Module):
             x = _lrelu(x)
             fmaps.append(x)
         x = WNConv2d(
-            1024, (self.kernel_size, 1), (1, 1), ((2, 2), (0, 0)),
-            dtype=self.dtype, name="conv_4",
+            self.channels[-1], (self.kernel_size, 1), (1, 1), ((2, 2), (0, 0)),
+            dtype=self.dtype, name=f"conv_{len(self.channels)}",
         )(x)
         x = _lrelu(x)
         fmaps.append(x)
@@ -94,26 +98,36 @@ class PeriodDiscriminator(nn.Module):
         return x.reshape(B, -1), fmaps
 
 
+REFERENCE_MSD_SPECS = (
+    # (features, kernel, stride, groups, pad) — reference layers.py:108-133
+    (128, 15, 1, 1, 7),
+    (128, 41, 2, 4, 20),
+    (256, 41, 2, 16, 20),
+    (512, 41, 4, 16, 20),
+    (1024, 41, 4, 16, 20),
+    (1024, 41, 1, 16, 20),
+    (1024, 5, 1, 1, 2),
+)
+
+TINY_MSD_SPECS = (
+    # shrunken layer stack for virtual-CPU dryruns / tests
+    (8, 15, 1, 1, 7),
+    (16, 41, 4, 4, 20),
+    (16, 5, 1, 1, 2),
+)
+
+
 class ScaleDiscriminator(nn.Module):
     """One scale discriminator (reference layers.py:108-133)."""
 
+    specs: Tuple[Tuple[int, int, int, int, int], ...] = REFERENCE_MSD_SPECS
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, audio):
         x = audio[..., None]  # (B, T, 1)
-        specs = [
-            # (features, kernel, stride, groups, pad)
-            (128, 15, 1, 1, 7),
-            (128, 41, 2, 4, 20),
-            (256, 41, 2, 16, 20),
-            (512, 41, 4, 16, 20),
-            (1024, 41, 4, 16, 20),
-            (1024, 41, 1, 16, 20),
-            (1024, 5, 1, 1, 2),
-        ]
         fmaps = []
-        for i, (ch, k, s, grp, pad) in enumerate(specs):
+        for i, (ch, k, s, grp, pad) in enumerate(self.specs):
             x = WNConv1d(
                 ch, k, stride=s, groups=grp, padding=(pad, pad),
                 dtype=self.dtype, name=f"conv_{i}",
@@ -127,13 +141,16 @@ class ScaleDiscriminator(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    channels: Tuple[int, ...] = (32, 128, 512, 1024)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, real, fake):
         r_logits, r_fmaps, f_logits, f_fmaps = [], [], [], []
         for p in self.periods:
-            d = PeriodDiscriminator(p, dtype=self.dtype, name=f"period_{p}")
+            d = PeriodDiscriminator(
+                p, channels=self.channels, dtype=self.dtype, name=f"period_{p}"
+            )
             lr, fr = d(real)
             lf, ff = d(fake)
             r_logits.append(lr)
@@ -145,13 +162,14 @@ class MultiPeriodDiscriminator(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     n_scales: int = 3
+    specs: Tuple[Tuple[int, int, int, int, int], ...] = REFERENCE_MSD_SPECS
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, real, fake):
         r_logits, r_fmaps, f_logits, f_fmaps = [], [], [], []
         for i in range(self.n_scales):
-            d = ScaleDiscriminator(dtype=self.dtype, name=f"scale_{i}")
+            d = ScaleDiscriminator(specs=self.specs, dtype=self.dtype, name=f"scale_{i}")
             lr, fr = d(real)
             lf, ff = d(fake)
             r_logits.append(lr)

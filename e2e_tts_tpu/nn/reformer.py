@@ -4,10 +4,14 @@ bucket 64, 4 hashes, causal, 4 of 8 heads local, weight-tied layers).
 
 TPU-native deviations (documented, SURVEY.md §7):
 - the reference's reversible residual sequence exists to save activation
-  memory on GPUs; on TPU ``jax.checkpoint`` (rematerialization) achieves the
-  same memory profile without the reversible-coupling machinery, so layers
-  here are plain pre-norm residual blocks under remat;
-- sorting/chunking is expressed with argsort + gather at static shapes.
+  memory on GPUs; on TPU ``nn.remat`` (rematerialization, applied per layer
+  in ``ReformerStack.__call__``) achieves the same memory profile without
+  the reversible-coupling machinery, so layers here are plain pre-norm
+  residual blocks under remat;
+- sorting/chunking is expressed with argsort + gather at static shapes;
+- the reference's optional PKM (product-key memory) layers
+  (blocks/reformer.py ``use_pkm``) are deliberately omitted: the reference
+  config never enables them and they are orthogonal to the LSH design.
 
 LSH attention: shared Q=K projection, random-rotation hashing into
 T/bucket_size buckets per round, sort by bucket, attend within each
@@ -289,16 +293,22 @@ class ReformerStack(nn.Module):
         ]
 
     def __call__(self, x, mask, deterministic: bool = True):
+        # remat replaces the reference's reversible residuals: per-layer
+        # activations are recomputed in the backward pass instead of stored,
+        # the same O(1)-layers activation memory the reversible coupling buys
+        # (reference blocks/reformer.py:896-933) without its split-channel
+        # machinery
+        def layer(mdl, x, mask, j):
+            h = mdl.attn_norms[j](x)
+            x = x + mdl.attns[j](h, mask, deterministic)
+            x = x * mask[..., None]
+            h = mdl.ff_norms[j](x)
+            x = x + mdl.ffs[j](h, deterministic)
+            return x * mask[..., None]
+
         for i in range(self.n_layers):
             j = 0 if self.weight_tie else i
-            # remat replaces the reference's reversible residuals: recompute
-            # activations in backward instead of storing them
-            h = self.attn_norms[j](x)
-            x = x + self.attns[j](h, mask, deterministic)
-            x = x * mask[..., None]
-            h = self.ff_norms[j](x)
-            x = x + self.ffs[j](h, deterministic)
-            x = x * mask[..., None]
+            x = nn.remat(layer, static_argnums=(3,))(self, x, mask, j)
         return x
 
 

@@ -86,6 +86,13 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, param_sharding_rules(params, mesh))
 
 
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Place every leaf fully replicated on the mesh (optimizer moments,
+    batch stats, step counters — anything without a TP rule)."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

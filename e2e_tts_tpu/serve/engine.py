@@ -31,8 +31,15 @@ from .chunking import arrange_text
 
 TEXT_BUCKETS = (32, 64, 96, 128, 192, 256, 320)
 MEL_BUCKET_STEP = 128
-MAX_MEL_LEN = 1024
+# Hard mel-length ceiling per chunk: 2048 frames ~ 23.8s at hop 256 / 22050Hz,
+# comfortably above the longest 300-char Vietnamese chunk (~13-19s).  Chunks
+# whose *predicted* durations still exceed this are re-split at phoneme
+# boundaries and synthesized in pieces — never silently truncated (the
+# reference's dynamic-shape serving has no cap at all, utils.py:119-160).
+MAX_MEL_LEN = 2048
 DEFAULT_BATCH = 8
+# fused fast-path duration estimate (frames per phoneme at d_control=1)
+FRAMES_PER_PHONEME_EST = 8
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
@@ -73,7 +80,6 @@ class SynthesisEngine:
         self.max_len = 300  # reference chunk budget (src/api/utils.py:27)
 
         # Pallas flash attention for the decoder on real TPUs
-        # (inference only; the kernel has no VJP)
         use_flash = jax.default_backend() == "tpu"
         self.acoustic = FastSpeech2(
             config=config.models.fastspeech2,
@@ -94,14 +100,6 @@ class SynthesisEngine:
         self._stage2_cache = {}
         self._cache_lock = threading.Lock()  # concurrent serving threads
         self.n_programs_compiled = 0
-
-        upsample = 1
-        for r in (
-            config.models.hifigan.upsample_rates
-            if vocoder_kind == "hifigan"
-            else config.models.istft.upsample_rates
-        ):
-            upsample *= r
 
     # --- program builders -------------------------------------------------
 
@@ -162,8 +160,10 @@ class SynthesisEngine:
 
     def _fused(self, L: int, T: int):
         """One program: stage1 + stage2 + vocoder.  Avoids the duration
-        device->host sync and one dispatch per batch; the engine falls back
-        to the two-stage path when predicted durations overflow T."""
+        device->host sync and one dispatch per batch.  Also returns the
+        stage-1 activations and durations (device arrays, never fetched on
+        the fast path) so an overflow can finish via ``_stage2`` alone
+        without re-running the encoder."""
         key = ("fused", L, T)
         with self._cache_lock:
             return self._fused_locked(key, L, T)
@@ -190,7 +190,7 @@ class SynthesisEngine:
                     audio.astype(jnp.float32) * 32767.0, -32768, 32767
                 ).astype(jnp.int16)
                 total_dur = jnp.sum(durations, axis=-1)
-                return audio_i16, mel_lens, total_dur
+                return audio_i16, mel_lens, total_dur, x, durations
 
             self._stage2_cache[key] = jax.jit(fn)
             self.n_programs_compiled += 1
@@ -218,7 +218,15 @@ class SynthesisEngine:
         if not seqs:
             return np.zeros(0, np.int16)
 
-        spk = self.speakers.get(speaker_id, 0) if self.speakers else 0
+        if speaker_id is None or not self.speakers:
+            spk = 0
+        elif speaker_id in self.speakers:
+            spk = self.speakers[speaker_id]
+        else:
+            raise KeyError(
+                f"unknown speaker_id {speaker_id!r}; "
+                f"known: {sorted(self.speakers)}"
+            )
         audios = self._synthesize_sequences(
             seqs, spk, pitch_control, energy_control, duration_control
         )
@@ -249,37 +257,97 @@ class SynthesisEngine:
                 speakers = np.full((B,), speaker, np.int32)
 
                 # fast path: one fused dispatch at an estimated mel bucket
-                # (~8 frames/phoneme covers typical speech); overflow falls
-                # back to the exact two-stage path
-                T_est = _mel_bucket(8 * L) if d <= 1.0 else None
-                audio_np = mel_lens_np = None
-                if T_est is not None:
-                    audio, mel_lens, total_dur = self._fused(L, T_est)(
-                        self.acoustic_params, self.vocoder_params,
-                        speakers, texts, lens, p, e, d,
-                    )
-                    total_np = np.asarray(total_dur)
-                    if int(total_np[: len(batch_idx)].max()) <= T_est:
-                        audio_np = np.asarray(audio)
-                        mel_lens_np = np.asarray(mel_lens)
-
-                if audio_np is None:
-                    x, durations = self._stage1(L)(
-                        self.acoustic_params, speakers, texts, lens, p, e, d
-                    )
-                    dur_np = np.asarray(durations)
-                    mel_total = dur_np.sum(axis=1)
-                    T = _mel_bucket(int(mel_total[: len(batch_idx)].max()))
+                # (~8 frames/phoneme of typical speech, scaled by d_control).
+                # Only the (B,) duration totals are fetched to validate the
+                # estimate; the stage-1 activations stay on device so an
+                # overflow finishes via stage 2 alone — stage 1 never runs
+                # twice.
+                T_est = _mel_bucket(int(FRAMES_PER_PHONEME_EST * L * max(d, 1.0)))
+                audio, mel_lens, total_dur, x, durations = self._fused(L, T_est)(
+                    self.acoustic_params, self.vocoder_params,
+                    speakers, texts, lens, p, e, d,
+                )
+                total_np = np.asarray(total_dur)[: len(batch_idx)]
+                max_total = int(total_np.max())
+                if max_total <= T_est:
+                    audio_np = np.asarray(audio)
+                    mel_lens_np = np.asarray(mel_lens)
+                elif max_total <= MAX_MEL_LEN:
+                    T = _mel_bucket(max_total)
                     audio, mel_lens = self._stage2(L, T)(
                         self.acoustic_params, self.vocoder_params, x, durations, p, e
                     )
                     audio_np = np.asarray(audio)
                     mel_lens_np = np.asarray(mel_lens)
+                else:
+                    # Some chunk predicts more frames than any bucket holds:
+                    # re-split the offending sequences at phoneme boundaries
+                    # (preferring <SILENT> pauses) and synthesize the pieces
+                    # recursively; fitting rows still finish via stage 2.
+                    audio_np = mel_lens_np = None
+                    T = _mel_bucket(min(max_total, MAX_MEL_LEN))
+                    fit_audio, fit_lens = self._stage2(L, T)(
+                        self.acoustic_params, self.vocoder_params, x, durations, p, e
+                    )
+                    fit_audio_np = np.asarray(fit_audio)
+                    fit_lens_np = np.asarray(fit_lens)
+                    for row, i in enumerate(batch_idx):
+                        if int(total_np[row]) <= MAX_MEL_LEN:
+                            n = int(fit_lens_np[row]) * self.hop_length
+                            results[i] = fit_audio_np[row, :n]
+                        else:
+                            pieces = self._split_sequence(
+                                seqs[i], int(total_np[row])
+                            )
+                            if len(pieces) <= 1:
+                                # cannot split further (degenerate input,
+                                # e.g. one phoneme predicting >MAX_MEL_LEN
+                                # frames): truncate with a warning rather
+                                # than recurse forever
+                                import warnings
+
+                                warnings.warn(
+                                    f"chunk predicts {int(total_np[row])} mel "
+                                    f"frames but cannot be split; truncating "
+                                    f"to {MAX_MEL_LEN}"
+                                )
+                                n = int(fit_lens_np[row]) * self.hop_length
+                                results[i] = fit_audio_np[row, :n]
+                            else:
+                                parts = self._synthesize_sequences(
+                                    pieces, speaker, p, e, d
+                                )
+                                results[i] = np.concatenate(parts)
+                    continue
 
                 for row, i in enumerate(batch_idx):
                     n = int(mel_lens_np[row]) * self.hop_length
                     results[i] = audio_np[row, :n]
         return results
+
+    def _split_sequence(self, seq: np.ndarray, total_frames: int) -> List[np.ndarray]:
+        """Split a phoneme sequence into pieces whose predicted mel lengths
+        fit MAX_MEL_LEN, cutting at <SILENT> pauses when one lies near the
+        even split point (audio there is a pause, so the seam is inaudible)."""
+        from ..text import SILENT_ID
+
+        n_parts = max(2, -(-total_frames // MAX_MEL_LEN))  # ceil
+        piece_len = -(-len(seq) // n_parts)
+        silent_pos = np.flatnonzero(np.asarray(seq) == SILENT_ID)
+        pieces, start = [], 0
+        while start < len(seq):
+            target = min(start + piece_len, len(seq))
+            if target < len(seq):
+                near = silent_pos[
+                    (silent_pos > start)
+                    & (silent_pos < len(seq) - 1)
+                    & (np.abs(silent_pos - target) <= piece_len // 4)
+                ]
+                if near.size:
+                    target = int(near[np.argmin(np.abs(near - target))]) + 1
+            pieces.append(seq[start:target])
+            start = target
+        return [piece for piece in pieces if len(piece) > 0]
 
     def _combine(self, audios: List[np.ndarray], gap: int) -> np.ndarray:
         """Stitch int16 chunk waveforms with silence gaps

@@ -120,7 +120,6 @@ _ABBREVIATIONS = {
 
 _UNITS_RE = re.compile(r"^(\d+(?:[.,]\d+)?)(%|km|kg|cm|mm|ml|m|g|l)$", re.IGNORECASE)
 _CURRENCY_RE = re.compile(r"^(\d[\d.]*)(đ|vnđ|vnd|usd|\$)$", re.IGNORECASE)
-_ORDINAL_RE = re.compile(r"^thứ$")
 _RANGE_RE = re.compile(r"^(\d+)-(\d+)$")
 _DATE_RE = re.compile(r"^(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?$")
 _TIME_RE = re.compile(r"^(\d{1,2})[:h](\d{2})?$")
@@ -132,11 +131,54 @@ _LONG_DIGITS_RE = re.compile(r"^\d{10,}$")
 # Punctuation the downstream G2P understands (becomes <silent> / </s>).
 _KEEP_PUNCT = ",.!?;:"
 
+# Dotted abbreviations ("TP. HCM") are expanded BEFORE punctuation splitting,
+# otherwise the '.' becomes its own token and the dotted key is unreachable.
+_DOTTED_ABBREV_RE = re.compile(
+    r"\b(tp|ts|gs|pgs|ths|bs)\.(?=\s*\w)", re.IGNORECASE
+)
 
-def _normalize_token(tok: str) -> str:
+# Vietnamese letter names for acronym spelling ("HCM" -> "hát xê mờ").
+_LETTER_NAMES = {
+    "a": "a", "b": "bê", "c": "xê", "d": "dê", "đ": "đê", "e": "e",
+    "f": "ép", "g": "gờ", "h": "hát", "i": "i", "j": "gi", "k": "ca",
+    "l": "lờ", "m": "mờ", "n": "nờ", "o": "o", "p": "pê", "q": "quy",
+    "r": "rờ", "s": "ét", "t": "tê", "u": "u", "v": "vê", "w": "vê kép",
+    "x": "ích", "y": "i dài", "z": "dét",
+}
+_ACRONYM_RE = re.compile(r"^[A-ZĐ]{2,6}$")
+
+
+def _is_acronym(tok: str) -> bool:
+    """All-caps token that is not a shouted Vietnamese syllable."""
+    if not _ACRONYM_RE.match(tok):
+        return False
+    from .g2p import is_valid_syllable
+
+    return not is_valid_syllable(tok.lower())
+
+
+def spell_acronym(tok: str) -> str:
+    """Spell an uppercase acronym letter by letter in Vietnamese."""
+    return " ".join(_LETTER_NAMES.get(c.lower(), c) for c in tok)
+
+
+def ordinal_to_words(n: int) -> str:
+    """Vietnamese ordinal reading: thứ nhất / thứ tư irregulars."""
+    if n == 1:
+        return "nhất"
+    if n == 4:
+        return "tư"
+    return number_to_words(n)
+
+
+def _normalize_token(tok: str, prev: str = "") -> str:
     low = tok.lower()
     if low in _ABBREVIATIONS:
         return _ABBREVIATIONS[low]
+    if prev == "thứ" and _NUM_RE.match(tok) and int(tok) > 0:
+        return ordinal_to_words(int(tok))
+    if _is_acronym(tok):
+        return spell_acronym(tok)
     m = _CURRENCY_RE.match(low)
     if m:
         num, cur = m.groups()
@@ -179,6 +221,10 @@ def _normalize_token(tok: str) -> str:
 
 def normalize_text(text: str) -> str:
     """Normalize raw Vietnamese text for the G2P frontend."""
+    # Expand dotted abbreviations before '.' becomes a standalone token.
+    text = _DOTTED_ABBREV_RE.sub(
+        lambda m: _ABBREVIATIONS[m.group(1).lower()], text
+    )
     # Separate kept punctuation into standalone tokens; drop the rest.
     text = re.sub(r"[“”\"'()\[\]{}]", " ", text)
     text = re.sub(r"\.{2,}", ".", text)
@@ -187,12 +233,15 @@ def normalize_text(text: str) -> str:
     text = re.sub(r"(\d) ([.,]) (\d)", r"\1\2\3", text)
     tokens = text.split()
     out = []
+    prev = ""
     for tok in tokens:
         if tok in _KEEP_PUNCT:
             out.append("," if tok in ";:" else tok)
+            prev = tok
             continue
-        norm = _normalize_token(tok)
+        norm = _normalize_token(tok, prev=prev.lower())
         out.append(norm)
+        prev = tok
     result = " ".join(out)
     return re.sub(r"\s+", " ", result).strip()
 

@@ -80,7 +80,12 @@ def cmd_acoustic(args):
     from ..nn import FeatureStats
     from ..parallel import batch_sharding, make_data_mesh, param_sharding_rules
     from ..text import symbols
-    from ..train import acoustic_optimizer, init_train_state, make_train_step
+    from ..train import (
+        acoustic_optimizer,
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
     from ..train.checkpoint import CheckpointManager
     from ..utils.logging import AcousticLogger
     from .optim import noam_schedule
@@ -117,6 +122,7 @@ def cmd_acoustic(args):
         n_speakers=len(speakers),
         n_mel_channels=config.audio.mel.channels,
         stats=FeatureStats.from_dict(stats),
+        dtype=jnp.bfloat16 if config.train.mixed_precision else jnp.float32,
     )
     optimizer = acoustic_optimizer(
         config.train.fastspeech2_optimizer, config.models.fastspeech2.encoder_hidden
@@ -129,6 +135,7 @@ def cmd_acoustic(args):
     )
     n_words = max(config.models.fastspeech2.max_seq_len, 256)
     train_step = jax.jit(make_train_step(model, config, optimizer, n_words=n_words))
+    eval_step = jax.jit(make_eval_step(model, config, n_words=n_words))
 
     mesh = make_data_mesh(config.train.batch_size)
     data_sh = batch_sharding(mesh)
@@ -160,13 +167,16 @@ def cmd_acoustic(args):
     )
 
     def run_validation(state, step):
-        """Average training losses over the held-out split (no update)."""
+        """Average eval losses over the held-out split — a dedicated
+        deterministic pass (dropout off, no grads, no optimizer math)."""
         totals, n = {}, 0
         for vb in make_acoustic_batches(
             valid_dataset, config.train.batch_size, shuffle=False
         ):
-            vb = jax.tree_util.tree_map(jnp.asarray, vb)
-            _, m = train_step(state, vb, jax.random.PRNGKey(0))
+            vb = jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), data_sh), vb
+            )
+            m = eval_step(state, vb)
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n += 1
@@ -244,6 +254,29 @@ def cmd_vocoder(args):
         state = ckpt.restore(state)
         print(f"[vocoder] resumed from step {int(state.step)}")
 
+    # data-parallel over the (data, model) mesh, exactly like cmd_acoustic:
+    # generator weights per TP rules, discriminators + optimizer moments
+    # replicated, batch sharded on the data axis
+    from ..parallel import (
+        batch_sharding,
+        make_data_mesh,
+        param_sharding_rules,
+        replicate,
+    )
+
+    batch_size = config.train.batch_size // 2
+    mesh = make_data_mesh(batch_size)
+    data_sh = batch_sharding(mesh)
+    state = state._replace(
+        g_params=jax.device_put(
+            state.g_params, param_sharding_rules(state.g_params, mesh)
+        ),
+        d_params=replicate(state.d_params, mesh),
+        g_opt_state=replicate(state.g_opt_state, mesh),
+        d_opt_state=replicate(state.d_opt_state, mesh),
+        step=replicate(state.step, mesh),
+    )
+
     mel_dir = "predicted_mels" if args.predicted_mels else "mels"
     dataset = VocoderDataset(
         train_entries, config,
@@ -257,26 +290,29 @@ def cmd_vocoder(args):
     t0 = time.time()
     from ..utils.prefetch import prefetch_iterator
 
-    while step < args.steps:
-        for batch in prefetch_iterator(
-            make_vocoder_batches(dataset, config.train.batch_size // 2, seed=epoch),
-            size=2,
-        ):
-            batch = jax.tree_util.tree_map(jnp.asarray, batch)
-            state, metrics = step_fn(state, batch)
-            step = int(state.step)
-            if step % config.train.log_step == 0:
-                for k, v in metrics.items():
-                    writer.scalar(f"vocoder/{k}", float(v), step)
-                print(
-                    f"[vocoder] step {step} g={float(metrics['g_total']):.3f} "
-                    f"d={float(metrics['d_total']):.3f} ({time.time() - t0:.0f}s)"
+    with mesh:
+        while step < args.steps:
+            for batch in prefetch_iterator(
+                make_vocoder_batches(dataset, batch_size, seed=epoch),
+                size=2,
+            ):
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(jnp.asarray(x), data_sh), batch
                 )
-            if step % args.ckpt_every == 0:
-                ckpt.save(step, jax.device_get(state))
-            if step >= args.steps:
-                break
-        epoch += 1
+                state, metrics = step_fn(state, batch)
+                step = int(state.step)
+                if step % config.train.log_step == 0:
+                    for k, v in metrics.items():
+                        writer.scalar(f"vocoder/{k}", float(v), step)
+                    print(
+                        f"[vocoder] step {step} g={float(metrics['g_total']):.3f} "
+                        f"d={float(metrics['d_total']):.3f} ({time.time() - t0:.0f}s)"
+                    )
+                if step % args.ckpt_every == 0:
+                    ckpt.save(step, jax.device_get(state))
+                if step >= args.steps:
+                    break
+            epoch += 1
     ckpt.save(step, jax.device_get(state), wait=True)
     print(f"[vocoder] done at step {step}")
 
@@ -329,42 +365,73 @@ def cmd_e2e(args):
         state = ckpt.restore(state)
         print(f"[e2e] resumed from step {int(state.step)}")
 
+    # data-parallel over the mesh: acoustic + generator weights per TP
+    # rules, discriminators/optimizer moments/batch stats replicated
+    from ..parallel import (
+        batch_sharding,
+        make_data_mesh,
+        param_sharding_rules,
+        replicate,
+    )
+
+    mesh = make_data_mesh(config.train.batch_size)
+    data_sh = batch_sharding(mesh)
+    state = state._replace(
+        acoustic_params=jax.device_put(
+            state.acoustic_params,
+            param_sharding_rules(state.acoustic_params, mesh),
+        ),
+        acoustic_batch_stats=replicate(state.acoustic_batch_stats, mesh),
+        g_params=jax.device_put(
+            state.g_params, param_sharding_rules(state.g_params, mesh)
+        ),
+        d_params=replicate(state.d_params, mesh),
+        am_opt_state=replicate(state.am_opt_state, mesh),
+        g_opt_state=replicate(state.g_opt_state, mesh),
+        d_opt_state=replicate(state.d_opt_state, mesh),
+        step=replicate(state.step, mesh),
+    )
+
     logger = E2ELogger(os.path.join(args.workdir, "logs", "e2e"))
     hop = config.audio.stft.hop_length
     rng = jax.random.PRNGKey(config.train.seed)
     step = int(state.step)
     epoch = 0
     t0 = time.time()
-    while step < args.steps:
-        for batch, paths in make_acoustic_batches(
-            dataset, config.train.batch_size, seed=config.train.seed + epoch,
-            with_paths=True,
-        ):
-            T = batch.mel.shape[1]
-            audio = np.zeros((batch.mel.shape[0], T * hop), np.float32)
-            for row, p in enumerate(paths):
-                if p not in wav_by_path:
-                    wav_by_path[p], _ = read_wav(p)
-                w = wav_by_path[p][: T * hop]
-                audio[row, : len(w)] = w
-            eb = E2EBatch(
-                acoustic=jax.tree_util.tree_map(jnp.asarray, batch),
-                audio=jnp.asarray(audio),
-            )
-            rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, eb, sub)
-            step = int(state.step)
-            if step % config.train.log_step == 0:
-                logger.log(step, {k: float(v) for k, v in metrics.items()})
-                print(
-                    f"[e2e] step {step} total={float(metrics['total']):.3f} "
-                    f"d={float(metrics['discriminator']):.3f} ({time.time() - t0:.0f}s)"
+    with mesh:
+        while step < args.steps:
+            for batch, paths in make_acoustic_batches(
+                dataset, config.train.batch_size, seed=config.train.seed + epoch,
+                with_paths=True,
+            ):
+                T = batch.mel.shape[1]
+                audio = np.zeros((batch.mel.shape[0], T * hop), np.float32)
+                for row, p in enumerate(paths):
+                    if p not in wav_by_path:
+                        wav_by_path[p], _ = read_wav(p)
+                    w = wav_by_path[p][: T * hop]
+                    audio[row, : len(w)] = w
+                eb = E2EBatch(
+                    acoustic=jax.tree_util.tree_map(jnp.asarray, batch),
+                    audio=jnp.asarray(audio),
                 )
-            if step % args.ckpt_every == 0:
-                ckpt.save(step, jax.device_get(state))
-            if step >= args.steps:
-                break
-        epoch += 1
+                eb = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, data_sh), eb
+                )
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, eb, sub)
+                step = int(state.step)
+                if step % config.train.log_step == 0:
+                    logger.log(step, {k: float(v) for k, v in metrics.items()})
+                    print(
+                        f"[e2e] step {step} total={float(metrics['total']):.3f} "
+                        f"d={float(metrics['discriminator']):.3f} ({time.time() - t0:.0f}s)"
+                    )
+                if step % args.ckpt_every == 0:
+                    ckpt.save(step, jax.device_get(state))
+                if step >= args.steps:
+                    break
+            epoch += 1
     ckpt.save(step, jax.device_get(state), wait=True)
     print(f"[e2e] done at step {step}")
 

@@ -62,9 +62,11 @@ def make_e2e_train_step(
     d_optimizer: optax.GradientTransformation,
     n_words: int,
     segment_frames: int = 32,
+    mpd=None,
+    msd=None,
 ):
-    mpd = MultiPeriodDiscriminator()
-    msd = MultiScaleDiscriminator()
+    mpd = mpd or MultiPeriodDiscriminator()
+    msd = msd or MultiScaleDiscriminator()
     mel_params = MelParams.from_config(config.audio, loss=True)
     hop = config.audio.stft.hop_length
     learn_alignment = config.models.fastspeech2.variance.duration_modelling.learn_alignment
@@ -222,7 +224,8 @@ def make_e2e_train_step(
 
 
 def init_e2e_state(
-    model, generator, config, am_opt, g_opt, d_opt, rng, segment_frames: int = 32
+    model, generator, config, am_opt, g_opt, d_opt, rng, segment_frames: int = 32,
+    mpd=None, msd=None,
 ) -> E2EState:
     from ..models.acoustic import init_acoustic_variables
     from .vocoder_step import init_vocoder_train_state
@@ -230,7 +233,7 @@ def init_e2e_state(
     k1, k2 = jax.random.split(rng)
     a_vars = init_acoustic_variables(model, k1)
     v_state = init_vocoder_train_state(
-        generator, config, g_opt, d_opt, k2, segment_frames
+        generator, config, g_opt, d_opt, k2, segment_frames, mpd=mpd, msd=msd
     )
     return E2EState(
         step=jnp.zeros((), jnp.int32),

@@ -49,9 +49,11 @@ def make_vocoder_train_step(
     g_optimizer: optax.GradientTransformation,
     d_optimizer: optax.GradientTransformation,
     vocoder_kind: str = "hifigan",
+    mpd=None,
+    msd=None,
 ):
-    mpd = MultiPeriodDiscriminator()
-    msd = MultiScaleDiscriminator()
+    mpd = mpd or MultiPeriodDiscriminator()
+    msd = msd or MultiScaleDiscriminator()
     mel_params = MelParams.from_config(config.audio, loss=True)
 
     def generate(g_params, mel):
@@ -134,6 +136,8 @@ def init_vocoder_train_state(
     d_optimizer,
     rng,
     segment_frames: int = 32,
+    mpd=None,
+    msd=None,
 ) -> VocoderTrainState:
     k1, k2, k3 = jax.random.split(rng, 3)
     n_mels = config.audio.mel.channels
@@ -142,8 +146,8 @@ def init_vocoder_train_state(
     audio = jnp.zeros((1, segment_frames * hop))
 
     g_params = generator.init(k1, mel)
-    mpd = MultiPeriodDiscriminator()
-    msd = MultiScaleDiscriminator()
+    mpd = mpd or MultiPeriodDiscriminator()
+    msd = msd or MultiScaleDiscriminator()
     d_params = {
         "mpd": mpd.init(k2, audio, audio),
         "msd": msd.init(k3, audio, audio),

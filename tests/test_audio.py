@@ -65,6 +65,21 @@ def test_mel_matches_torch_oracle(audio_batch):
     assert mae < 1e-4, mae  # target: mel MAE < 1e-3 (BASELINE.md); we hold 1e-4
 
 
+def test_mel_short_window_matches_torch_oracle(audio_batch):
+    """win_length < n_fft: the Hann window must be center-padded to n_fft
+    exactly as torch.stft does (round-1 advisor finding, audio/mel.py)."""
+    p = MelParams(n_fft=1024, win_length=512)
+    ours = np.asarray(mel_spectrogram(audio_batch, p))
+    theirs = _torch_reference_mel(audio_batch, p)
+    assert ours.shape == theirs.shape
+    assert np.abs(ours - theirs).mean() < 1e-4
+
+
+def test_mel_rejects_window_longer_than_fft():
+    with pytest.raises(ValueError):
+        stft_magnitude(np.zeros((1, 4096), np.float32), MelParams(n_fft=512, win_length=1024))
+
+
 def test_energy_matches_torch_oracle(audio_batch):
     p = MelParams()
     _, ours_e = mel_spectrogram(audio_batch, p, return_energy=True)
@@ -120,6 +135,59 @@ def test_istft_matches_torch():
     ).numpy()
     n = min(ours.shape[-1], theirs.shape[-1])
     assert np.abs(ours[..., :n] - theirs[..., :n]).max() < 1e-4
+
+
+def test_yin_accuracy_quantified_on_synthetic_harmonics():
+    """Quantify the YIN substitute's f0 deviation (round-1 verdict item 9):
+    on harmonic-rich signals with vibrato — the closest synthetic analogue
+    of voiced speech — voiced-frame error must stay below 1% (~17 cents).
+    Praat itself is ~0.1-0.3% on such signals; the residual gap is the
+    checkpoint-migration caveat documented in audio/features.py."""
+    sr, hop = 22050, 256
+    t = np.arange(int(1.5 * sr)) / sr
+    for base in (120.0, 210.0, 440.0):
+        f_inst = base * (1 + 0.02 * np.sin(2 * np.pi * 5.0 * t))  # 5Hz vibrato
+        phase = 2 * np.pi * np.cumsum(f_inst) / sr
+        x = (
+            0.6 * np.sin(phase)
+            + 0.3 * np.sin(2 * phase)
+            + 0.1 * np.sin(3 * phase)
+        ).astype(np.float64)
+        f0 = yin_f0(x, sr, hop)
+        centers = np.arange(len(f0)) * hop / sr
+        truth = base * (1 + 0.02 * np.sin(2 * np.pi * 5.0 * centers))
+        voiced = f0 > 0
+        assert voiced.mean() > 0.9, voiced.mean()
+        rel = np.abs(f0[voiced] - truth[voiced]) / truth[voiced]
+        assert np.median(rel) < 0.01, (base, np.median(rel))
+
+
+def test_f0_backend_plumbing():
+    """backend="yin" always works; "praat"/"pyworld" raise cleanly when the
+    reference libraries are absent, otherwise produce a valid track."""
+    sr, hop = 22050, 256
+    t = np.arange(sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 220 * t)
+    mel_len = len(x) // hop
+    f0 = extract_f0(x, mel_len, sr, hop, backend="yin")
+    assert len(f0) == mel_len
+
+    try:
+        import parselmouth  # noqa: F401
+
+        have_praat = True
+    except ImportError:
+        have_praat = False
+    if have_praat:
+        f0p = extract_f0(x, mel_len, sr, hop, backend="praat")
+        assert len(f0p) == mel_len
+        v = (f0 > 0) & (f0p > 0)
+        assert np.abs(f0[v] - f0p[v]).mean() / 220.0 < 0.02
+    else:
+        with pytest.raises(ImportError):
+            extract_f0(x, mel_len, sr, hop, backend="praat")
+        with pytest.raises(ImportError):
+            extract_pitch(x, sr, hop, backend="pyworld")
 
 
 def test_yin_detects_sine():

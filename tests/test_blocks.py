@@ -126,6 +126,69 @@ def test_reformer_weight_tying():
     assert "attn_0" in names and "attn_1" not in names
 
 
+def test_reformer_stack_grads_under_remat():
+    """The stack is documented as running under nn.remat; gradients must
+    flow through the rematerialized layers and stay finite."""
+    from e2e_tts_tpu.nn.reformer import ReformerStack
+
+    stack = ReformerStack(n_layers=2, d_model=32, n_head=4, n_local_heads=2,
+                          bucket_size=8, n_hashes=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32), jnp.float32)
+    mask = jnp.ones((2, 32), bool)
+    vs = stack.init({"params": jax.random.PRNGKey(0)}, x, mask)
+
+    def loss(params):
+        out = stack.apply({"params": params}, x, mask)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(vs["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(p)).all() for p in leaves)
+    assert sum(float(jnp.abs(p).sum()) for p in leaves) > 0
+
+
+def test_lsh_attention_accuracy_vs_dense_t1024():
+    """T=1024 LSH-vs-dense measurement (round-1 verdict item): with
+    clustered queries/keys the bucketed approximation must track full dense
+    causal attention closely."""
+    from e2e_tts_tpu.nn.reformer import lsh_attention
+
+    rng = np.random.RandomState(0)
+    B, T, D = 2, 1024, 64
+    # 16 sharp cluster directions: LSH rounds should co-bucket each cluster
+    centers = rng.randn(16, D).astype(np.float32) * 4.0
+    assign = rng.randint(0, 16, size=(B, T))
+    qk = centers[assign] + 0.05 * rng.randn(B, T, D).astype(np.float32)
+    v = rng.randn(B, T, D).astype(np.float32)
+    mask = np.ones((B, T), bool)
+
+    out_lsh = np.asarray(
+        lsh_attention(
+            jnp.asarray(qk), jnp.asarray(v), jnp.asarray(mask),
+            jax.random.PRNGKey(3), n_hashes=4, bucket_size=64, causal=True,
+        )
+    )
+
+    # dense oracle with the kernel's score convention: q . normalize(k),
+    # causal, self-attention excluded (reference TOKEN_SELF_ATTN_VALUE)
+    kn = qk / np.maximum(np.linalg.norm(qk, axis=-1, keepdims=True), 1e-6)
+    s = np.einsum("btd,bsd->bts", qk, kn) / np.sqrt(D)
+    causal = np.tril(np.ones((T, T), bool))
+    s = np.where(causal[None], s, -1e9)
+    ii = np.arange(T)
+    s[:, ii, ii] = -5e4  # self-attention penalty
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    out_dense = np.einsum("bts,bsd->btd", p, v)
+
+    # skip the first few positions (few causal candidates -> noisy)
+    a, b = out_lsh[:, 8:], out_dense[:, 8:]
+    cos = np.sum(a * b, -1) / np.maximum(
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-9
+    )
+    assert cos.mean() > 0.90, cos.mean()
+
+
 def test_fastformer_weight_tying():
     from e2e_tts_tpu.nn.fastformer import FastformerStack
 

@@ -123,6 +123,37 @@ def test_speaker_conditioning_changes_output(engine):
     assert len(a0) != len(a1) or not np.array_equal(a0[:n], a1[:n])
 
 
+def test_unknown_speaker_raises(engine):
+    with pytest.raises(KeyError):
+        engine.synthesize("xin chào", speaker_id="nope_not_a_speaker")
+
+
+def test_overflow_resplits_instead_of_truncating(engine, monkeypatch):
+    """A chunk whose predicted durations exceed the mel cap must be re-split
+    at phoneme boundaries and synthesized in pieces, not silently truncated
+    (round-1 advisor finding: serve/engine.py MAX_MEL_LEN clamp)."""
+    from e2e_tts_tpu.serve import engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "MAX_MEL_LEN", 128)
+    text = "hôm nay trời đẹp quá các bạn ơi , chúng ta đi chơi thôi nào"
+    audio = engine.synthesize(text, duration_control=20.0, silence_distance=0)
+    # 20x durations over ~40 phonemes far exceeds 128 frames; un-truncated
+    # output must be longer than the cap allows for a single chunk
+    assert len(audio) > 128 * engine.hop_length
+
+
+def test_split_sequence_prefers_silent_boundaries():
+    from e2e_tts_tpu.serve.engine import SynthesisEngine
+    from e2e_tts_tpu.text import SILENT_ID
+
+    seq = np.array([5, 6, 7, SILENT_ID, 8, 9, 10, 11], np.int32)
+    pieces = SynthesisEngine._split_sequence(None, seq, total_frames=5000)
+    assert sum(len(p) for p in pieces) == len(seq)
+    assert len(pieces) >= 2
+    # the first cut lands just after the silent token
+    assert pieces[0][-1] == SILENT_ID
+
+
 def test_synthesize_denoised(engine):
     den = engine.make_denoiser()
     audio = engine.synthesize_denoised(

@@ -146,6 +146,31 @@ def test_normalize_text():
     assert "phần trăm" in out2
 
 
+def test_normalize_dotted_abbreviations():
+    # dotted keys must be expanded before '.' is split into its own token
+    out = normalize_text("TP. Hồ Chí Minh có GS. Nam và TS. Hoa")
+    assert "thành phố hồ chí minh" in out.lower()
+    assert "giáo sư" in out and "tiến sĩ" in out
+    assert "tp" not in out.lower().split()
+
+
+def test_normalize_ordinals():
+    out = normalize_text("ngày thứ 2, giải thứ 1, hạng thứ 4, lần thứ 21")
+    assert "thứ hai" in out
+    assert "thứ nhất" in out
+    assert "thứ tư" in out
+    assert "thứ hai mươi mốt" in out
+
+
+def test_normalize_acronyms():
+    out = normalize_text("đài TTXVN đưa tin về HCM")
+    assert "tê tê ích vê nờ" in out
+    assert "hát xê mờ" in out
+    # shouted valid Vietnamese words are NOT spelled out
+    out2 = normalize_text("XIN CHÀO")
+    assert "ích" not in out2
+
+
 def test_is_valid_syllable():
     for w in ("xin", "chào", "nghiêng", "quyết", "người"):
         assert is_valid_syllable(w), w
