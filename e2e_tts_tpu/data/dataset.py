@@ -73,6 +73,7 @@ class AcousticDataset:
         config: Config,
         supervised: bool = False,
         prior_cache_dir: Optional[str] = None,
+        symbol_table: Optional[Dict[str, int]] = None,
     ):
         self.entries = entries
         self.speaker_map = speaker_map
@@ -80,6 +81,7 @@ class AcousticDataset:
         self.config = config
         self.supervised = supervised
         self.prior_cache_dir = prior_cache_dir
+        self.symbol_table = symbol_table  # None -> default VN inventory
         self.max_seq_len = config.models.fastspeech2.max_seq_len
 
     def __len__(self):
@@ -91,7 +93,9 @@ class AcousticDataset:
         mel = feats["mels"].T  # (T, n_mels)
         T = mel.shape[0]
 
-        text_ids = np.asarray(phonemes_to_sequence(phonemes), np.int32)
+        text_ids = np.asarray(
+            phonemes_to_sequence(phonemes, table=self.symbol_table), np.int32
+        )
         L = len(text_ids)
 
         if self.supervised:

@@ -26,6 +26,14 @@ from ..config import Config
 FEATURE_DIRS = ("mels", "f0", "pitch", "energy")
 
 
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 def utterance_paths(wav_path: str) -> Dict[str, str]:
     base = os.path.splitext(os.path.basename(wav_path))[0]
     root = os.path.dirname(os.path.dirname(wav_path))
@@ -46,10 +54,30 @@ def create_utterance_features(
     assert sr == config.audio.signal.sampling_rate, (wav_path, sr)
     p = MelParams.from_config(config.audio)
 
-    mel, energy = mel_spectrogram(audio[None], p, return_energy=True)
-    mel = np.asarray(mel[0], np.float32)            # (n_mels, T)
-    energy = np.asarray(energy[0], np.float32)      # (T,)
-    mel_len = mel.shape[1]
+    # Pad to a sample bucket and compute on the host CPU backend: utterance
+    # lengths are all distinct, so unbucketed extraction would trigger one
+    # XLA compile per file (minutes each through a remote-TPU tunnel).
+    # Bucketing bounds the program cache; frames beyond the true length are
+    # trimmed (only the last 1-2 boundary frames see zero-padding instead of
+    # reflection — preprocessing noise well below feature variance).
+    from ..audio.mel import num_frames
+
+    bucket = 4 * p.hop_length * 16  # 16384 samples at hop 256
+    n_pad = -len(audio) % bucket
+    padded = np.pad(audio, (0, n_pad)) if n_pad else audio
+    mel_len = num_frames(len(audio), p)
+
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        mel, energy = mel_spectrogram(padded[None], p, return_energy=True)
+        mel = np.asarray(mel[0], np.float32)[:, :mel_len]   # (n_mels, T)
+        energy = np.asarray(energy[0], np.float32)[:mel_len]
 
     f0 = extract_f0(audio, mel_len, sr, p.hop_length).astype(np.float32)
     pitch = extract_pitch(audio, sr, p.hop_length)[:mel_len].astype(np.float32)

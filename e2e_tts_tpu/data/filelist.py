@@ -51,8 +51,12 @@ def create_unsupervised_filelist(
     corpus_dirs: Sequence[str],
     output_path: str,
     foreign_dicts: Optional[Dict[str, dict]] = None,
+    lang: str = "vie",
 ) -> Tuple[List[str], List[str]]:
-    """Returns (kept lines, skipped utterance names)."""
+    """Returns (kept lines, skipped utterance names).
+
+    ``lang``: "vie" runs the Vietnamese G2P with OOV filtering; "eng" runs
+    the English frontend (lexicon + letter-to-sound — nothing is OOV)."""
     foreign_dicts = foreign_dicts or {}
     lines, skipped = [], []
     for corpus in corpus_dirs:
@@ -65,20 +69,25 @@ def create_unsupervised_filelist(
                     continue
                 fname, speaker, transcript = row.split("|")[:3]
                 words = transcript.lower().split()
-                oov = [
-                    w
-                    for w in words
-                    if w not in speaker_fd
-                    and "-" not in w
-                    and not _is_punct(w)
-                    and not is_valid_syllable(w)
-                ]
-                if oov:
-                    skipped.append(fname)
-                    continue
-                phonemes, boundaries = phonemize(
-                    words, foreign_dict=speaker_fd, is_training=True
-                )
+                if lang == "eng":
+                    from ..text.english import english_phonemize
+
+                    phonemes, boundaries = english_phonemize(words)
+                else:
+                    oov = [
+                        w
+                        for w in words
+                        if w not in speaker_fd
+                        and "-" not in w
+                        and not _is_punct(w)
+                        and not is_valid_syllable(w)
+                    ]
+                    if oov:
+                        skipped.append(fname)
+                        continue
+                    phonemes, boundaries = phonemize(
+                        words, foreign_dict=speaker_fd, is_training=True
+                    )
                 wav = os.path.join(corpus, "wavs", fname)
                 lines.append(
                     f"{wav}|{speaker}|{' '.join(phonemes)}|"

@@ -27,6 +27,7 @@ def save_bundle(
     stats: FeatureStats,
     vocoder_kind: str = "hifigan",
     foreign_dict: Dict = None,
+    language: str = "vie",
 ):
     os.makedirs(bundle_dir, exist_ok=True)
     save_config(config, os.path.join(bundle_dir, "config.yaml"))
@@ -35,7 +36,7 @@ def save_bundle(
     with open(os.path.join(bundle_dir, "stats.json"), "w") as f:
         json.dump(stats.to_dict(), f, indent=1)
     with open(os.path.join(bundle_dir, "meta.json"), "w") as f:
-        json.dump({"vocoder_kind": vocoder_kind}, f)
+        json.dump({"vocoder_kind": vocoder_kind, "language": language}, f)
     if foreign_dict:
         with open(
             os.path.join(bundle_dir, "foreign_words.json"), "w", encoding="utf8"
@@ -54,10 +55,12 @@ def load_bundle(bundle_dir: str) -> Tuple:
     with open(os.path.join(bundle_dir, "stats.json")) as f:
         stats = FeatureStats.from_dict(json.load(f))
     meta_path = os.path.join(bundle_dir, "meta.json")
-    vocoder_kind = "hifigan"
+    vocoder_kind, language = "hifigan", "vie"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            vocoder_kind = json.load(f).get("vocoder_kind", "hifigan")
+            meta = json.load(f)
+        vocoder_kind = meta.get("vocoder_kind", "hifigan")
+        language = meta.get("language", "vie")
     fd_path = os.path.join(bundle_dir, "foreign_words.json")
     foreign_dict = {}
     if os.path.exists(fd_path):
@@ -70,11 +73,15 @@ def load_bundle(bundle_dir: str) -> Tuple:
 
     from ..models.acoustic import FastSpeech2, init_acoustic_variables
     from ..models.vocoder import build_generator
-    from ..text import symbols
+
+    if language == "eng":
+        from ..text.english import ENGLISH_SYMBOLS as _syms
+    else:
+        from ..text import symbols as _syms
 
     acoustic = FastSpeech2(
         config=config.models.fastspeech2,
-        n_symbols=len(symbols),
+        n_symbols=len(_syms),
         n_speakers=max(len(speakers), 1),
         n_mel_channels=config.audio.mel.channels,
         stats=stats,
@@ -89,4 +96,7 @@ def load_bundle(bundle_dir: str) -> Tuple:
         aparams = serialization.from_bytes(template_a, f.read())
     with open(os.path.join(bundle_dir, "vocoder.msgpack"), "rb") as f:
         vparams = serialization.from_bytes(template_v, f.read())
-    return config, aparams, vparams, speakers, stats, vocoder_kind, foreign_dict
+    return (
+        config, aparams, vparams, speakers, stats, vocoder_kind,
+        foreign_dict, language,
+    )

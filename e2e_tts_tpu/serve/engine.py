@@ -69,6 +69,7 @@ class SynthesisEngine:
         foreign_dict: Optional[dict] = None,
         dtype=jnp.float32,
         use_folded_vocoder: Optional[bool] = None,
+        language: str = "vie",
     ):
         self.config = config
         self.speakers = speakers
@@ -79,12 +80,25 @@ class SynthesisEngine:
         self.hop_length = config.audio.stft.hop_length
         self.sample_rate = config.audio.signal.sampling_rate
         self.max_len = 300  # reference chunk budget (src/api/utils.py:27)
+        self.language = language
+
+        # frontend dispatch: the router serves one engine per language
+        # (reference synthesizer.py:12-25 routed eng to an external model;
+        # here English is a first-class frontend, text/english.py)
+        if language == "eng":
+            from ..text.english import ENGLISH_SYMBOLS, english_to_sequence
+
+            n_symbols = len(ENGLISH_SYMBOLS)
+            self._to_sequence = lambda c: english_to_sequence(c)
+        else:
+            n_symbols = len(symbols)
+            self._to_sequence = lambda c: text_to_sequence(c, self.foreign_dict)
 
         # Pallas flash attention for the decoder on real TPUs
         use_flash = jax.default_backend() == "tpu"
         self.acoustic = FastSpeech2(
             config=config.models.fastspeech2,
-            n_symbols=len(symbols),
+            n_symbols=n_symbols,
             n_speakers=max(len(speakers), 1),
             n_mel_channels=config.audio.mel.channels,
             stats=stats,
@@ -232,10 +246,7 @@ class SynthesisEngine:
         """Full text -> int16 waveform (chunking + batching + stitching)."""
         texts = [text] if isinstance(text, str) else list(text)
         chunks = arrange_text(texts, self.max_len)
-        seqs = [
-            np.asarray(text_to_sequence(c, self.foreign_dict), np.int32)
-            for c in chunks
-        ]
+        seqs = [np.asarray(self._to_sequence(c), np.int32) for c in chunks]
         seqs = [s for s in seqs if len(s) > 0]
         if not seqs:
             return np.zeros(0, np.int16)
@@ -386,6 +397,30 @@ class SynthesisEngine:
             dummy = "la " * max(1, L // 3)
             self.synthesize(dummy, speaker_id=speaker_id)
 
+    def vocode_mel(self, mel: np.ndarray) -> np.ndarray:
+        """Vocode a log-mel (T, n_mels) -> float32 waveform in [-1, 1].
+
+        Public mel->audio entry for voice conversion / external mels; pads T
+        to the serving mel buckets so programs are reused, trims after."""
+        T = int(mel.shape[0])
+        if T == 0:
+            return np.zeros(0, np.float32)
+        Tb = _mel_bucket(T)
+        pad = np.zeros((Tb, mel.shape[1]), np.float32)
+        pad[:T] = mel
+        with self._cache_lock:
+            key = ("vocode", Tb)
+            if key not in self._stage2_cache:
+                self._stage2_cache[key] = jax.jit(
+                    lambda p, m: self._voc_apply(p, m)
+                )
+                self.n_programs_compiled += 1
+            fn = self._stage2_cache[key]
+        audio = np.asarray(
+            fn(self._voc_params, pad[None])[0], np.float32
+        )
+        return audio[: T * self.hop_length]
+
     def make_denoiser(self, mode: str = "zeros"):
         """Bias denoiser for this engine's vocoder (models/denoiser.py);
         apply to float audio via ``denoiser(audio, strength)``."""
@@ -427,15 +462,22 @@ class SynthesisEngine:
         n_speakers: int = 4,
         vocoder_kind: str = "hifigan",
         dtype=jnp.float32,
+        language: str = "vie",
         **kw,
     ) -> "SynthesisEngine":
         """Random-weight engine for shape/flow/benchmark runs."""
         config = config or default_config()
         stats = FeatureStats()
         speakers = {f"speaker_{i}": i for i in range(n_speakers)}
+        if language == "eng":
+            from ..text.english import ENGLISH_SYMBOLS
+
+            n_symbols = len(ENGLISH_SYMBOLS)
+        else:
+            n_symbols = len(symbols)
         acoustic = FastSpeech2(
             config=config.models.fastspeech2,
-            n_symbols=len(symbols),
+            n_symbols=n_symbols,
             n_speakers=n_speakers,
             n_mel_channels=config.audio.mel.channels,
             stats=stats,
@@ -451,7 +493,7 @@ class SynthesisEngine:
         vparams = init_generator_params(voc, k2, config.audio.mel.channels)
         return cls(
             config, aparams, vparams, speakers, stats,
-            vocoder_kind=vocoder_kind, dtype=dtype, **kw,
+            vocoder_kind=vocoder_kind, dtype=dtype, language=language, **kw,
         )
 
     @classmethod
@@ -461,10 +503,12 @@ class SynthesisEngine:
         src/api/utils.py:34-36, plus serialized params)."""
         from .bundle import load_bundle
 
-        config, aparams, vparams, speakers, stats, vocoder_kind, foreign_dict = (
-            load_bundle(bundle_dir)
-        )
+        (
+            config, aparams, vparams, speakers, stats, vocoder_kind,
+            foreign_dict, language,
+        ) = load_bundle(bundle_dir)
         kw.setdefault("foreign_dict", foreign_dict)
+        kw.setdefault("language", language)
         return cls(
             config, aparams, vparams, speakers, stats,
             vocoder_kind=vocoder_kind, dtype=dtype, **kw,

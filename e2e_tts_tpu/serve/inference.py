@@ -38,8 +38,12 @@ class Synthesizer:
             self.normalize = normalizer
         elif normalize_url:
             self.normalize = HttpNormalizer(normalize_url)
-        else:
+        elif getattr(engine, "language", "vie") == "vie":
             self.normalize = normalize_text
+        else:
+            # non-Vietnamese engines: the VN number/abbreviation expansion
+            # would emit Vietnamese words; pass text through untouched
+            self.normalize = lambda t: t
         os.makedirs(output_dir, exist_ok=True)
         self.output_dir = output_dir
 

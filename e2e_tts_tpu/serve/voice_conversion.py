@@ -4,6 +4,13 @@ The reference wires FreeVC through Coqui-TTS (reference: synthesizer.py:26-28,
 58-65) — an external torch checkpoint.  This module defines the same
 ``convert(src, target, out)`` interface with two backends:
 
+- ``KnnVoiceConverter`` (preferred when a trained vocoder is available):
+  kNN-VC-style any-to-any conversion — every source mel frame is replaced by
+  a similarity-weighted average of its k nearest frames from the target
+  utterance, matched on per-utterance-normalized, context-stacked log-mels
+  (a content-driven metric; raw target frames carry the speaker timbre), and
+  the converted mel is rendered by the engine's trained HiFi-GAN.  The
+  matching is one (Ts, D) @ (D, Tt) matmul + top-k on the MXU.
 - ``SpectralVoiceConverter`` (always available): spectral-envelope transfer —
   morphs the source's smoothed log-spectrum toward the target speaker's
   average envelope and resynthesizes with Griffin-Lim phase from the source.
@@ -14,6 +21,11 @@ The reference wires FreeVC through Coqui-TTS (reference: synthesizer.py:26-28,
 
 from __future__ import annotations
 
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..audio.filters import hann_window
@@ -73,4 +85,121 @@ class SpectralVoiceConverter:
         if peak > 1.0:
             audio = audio / peak
         write_wav(out_path, audio, sr)
+        return out_path
+
+
+def _bucket_up(n: int, step: int = 256) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+@partial(jax.jit, static_argnames=("k", "temperature"))
+def _knn_match(src_feat, tgt_feat, tgt_mel, tgt_mask, k: int = 4,
+               temperature: float = 10.0):
+    """Each source frame -> softmax-weighted mean of its k nearest target
+    mel frames (cosine similarity on normalized features).  One MXU matmul
+    (Ts, D) @ (D, Tt), lax.top_k over the target axis, one gather."""
+
+    def norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6)
+
+    sim = norm(src_feat) @ norm(tgt_feat).T          # (Ts, Tt)
+    sim = jnp.where(tgt_mask[None, :], sim, -1e9)
+    vals, idx = jax.lax.top_k(sim, k)                 # (Ts, k)
+    w = jax.nn.softmax(vals * temperature, axis=-1)
+    return (tgt_mel[idx] * w[..., None]).sum(axis=1)  # (Ts, n_mels)
+
+
+class KnnVoiceConverter:
+    """kNN-VC over mel features + trained HiFi-GAN rendering.
+
+    Follows the kNN-VC recipe (Baas et al. 2023, "Voice Conversion With
+    Just Nearest Neighbors") with the engine's own features in place of
+    WavLM: matching runs on per-utterance mean/variance-normalized log-mels
+    stacked with +-``context`` neighbor frames, which removes global speaker
+    timbre from the metric so matches are content-driven, while the output
+    frames are the *raw* target mels, which carry the target's timbre.
+    Replaces the reference's external FreeVC checkpoint
+    (reference synthesizer.py:26-28,58-65) with a self-contained path.
+    """
+
+    def __init__(
+        self,
+        engine=None,
+        k: int = 4,
+        context: int = 2,
+        temperature: float = 10.0,
+        fallback: Optional[object] = None,
+    ):
+        """``engine``: a SynthesisEngine whose trained vocoder renders the
+        converted mel; without one, conversion falls back to ``fallback``
+        (default SpectralVoiceConverter)."""
+        self.engine = engine
+        self.k = k
+        self.context = context
+        self.temperature = temperature
+        self.fallback = fallback or SpectralVoiceConverter()
+
+    # --- features ----------------------------------------------------------
+
+    def _mel(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        from ..audio.mel import MelParams, mel_spectrogram, num_frames
+
+        p = MelParams.from_config(self.engine.config.audio)
+        assert sr == self.engine.sample_rate, (sr, self.engine.sample_rate)
+        # pad to a sample bucket: bounds XLA program count across utterances
+
+        bucket = 16 * p.hop_length * 4
+        n_pad = -len(audio) % bucket
+        padded = np.pad(audio, (0, n_pad)) if n_pad else audio
+        T = num_frames(len(audio), p)
+        mel = np.asarray(mel_spectrogram(padded[None], p)[0], np.float32)
+        return mel.T[:T]  # (T, n_mels)
+
+    def _features(self, mel: np.ndarray) -> np.ndarray:
+        """Per-utterance CMVN + context stacking: (T, (2c+1) * n_mels)."""
+        mu, sd = mel.mean(axis=0), mel.std(axis=0) + 1e-5
+        z = (mel - mu) / sd
+        c = self.context
+        padded = np.pad(z, ((c, c), (0, 0)), mode="edge")
+        return np.concatenate(
+            [padded[i : i + len(mel)] for i in range(2 * c + 1)], axis=1
+        )
+
+    # --- conversion --------------------------------------------------------
+
+    def convert_mel(self, src_mel: np.ndarray, tgt_mel: np.ndarray) -> np.ndarray:
+        """(Ts, n_mels), (Tt, n_mels) -> converted (Ts, n_mels)."""
+        import jax.numpy as jnp
+
+        src_feat = self._features(src_mel)
+        tgt_feat = self._features(tgt_mel)
+        Ts, Tt = len(src_feat), len(tgt_feat)
+        Tsb, Ttb = _bucket_up(Ts), _bucket_up(Tt)
+        sf = np.zeros((Tsb, src_feat.shape[1]), np.float32)
+        sf[:Ts] = src_feat
+        tf = np.zeros((Ttb, tgt_feat.shape[1]), np.float32)
+        tf[:Tt] = tgt_feat
+        tm = np.zeros((Ttb, tgt_mel.shape[1]), np.float32)
+        tm[:Tt] = tgt_mel
+        mask = np.arange(Ttb) < Tt
+        out = _knn_match(
+            jnp.asarray(sf), jnp.asarray(tf), jnp.asarray(tm),
+            jnp.asarray(mask), k=min(self.k, Tt),
+            temperature=self.temperature,
+        )
+        return np.asarray(out, np.float32)[:Ts]
+
+    def convert(self, source_path: str, target_path: str, out_path: str) -> str:
+        if self.engine is None:
+            return self.fallback.convert(source_path, target_path, out_path)
+        src, sr_s = read_wav(source_path)
+        tgt, sr_t = read_wav(target_path)
+        if sr_s != self.engine.sample_rate or sr_t != self.engine.sample_rate:
+            return self.fallback.convert(source_path, target_path, out_path)
+        converted = self.convert_mel(self._mel(src, sr_s), self._mel(tgt, sr_t))
+        audio = self.engine.vocode_mel(converted)
+        peak = np.abs(audio).max()
+        if peak > 1.0:
+            audio = audio / peak
+        write_wav(out_path, audio, self.engine.sample_rate)
         return out_path

@@ -18,8 +18,27 @@ def _strip_stress(symbol: str) -> str:
     return symbol
 
 
-def phonemes_to_sequence(phonemes: List[str]) -> List[int]:
-    return [SYMBOL_TO_ID[_strip_stress(p)] for p in phonemes]
+def phonemes_to_sequence(
+    phonemes: List[str],
+    table: Optional[Dict[str, int]] = None,
+    strict: bool = True,
+) -> List[int]:
+    """Phoneme symbols -> ids.  ``table`` defaults to the Vietnamese
+    inventory; pass english.ENGLISH_SYMBOL_TO_ID for the extended table.
+    With ``strict=False`` unknown symbols (e.g. ARPAbet foreign-word phones
+    under the VN-only table) degrade to <SILENT> instead of raising — the
+    serving contract (a pause beats a crash on user text)."""
+    table = table or SYMBOL_TO_ID
+    out = []
+    for p in phonemes:
+        s = _strip_stress(p)
+        if s in table:
+            out.append(table[s])
+        elif strict:
+            raise KeyError(f"unknown phoneme symbol {p!r}")
+        else:
+            out.append(table["<SILENT>"])
+    return out
 
 
 def text_to_sequence(
@@ -37,7 +56,7 @@ def text_to_sequence(
     phonemes, boundaries = phonemize(
         text, foreign_dict, is_training=False, strict=False
     )
-    seq = phonemes_to_sequence(phonemes)
+    seq = phonemes_to_sequence(phonemes, strict=False)
     if return_boundary:
         return seq, boundaries
     return seq

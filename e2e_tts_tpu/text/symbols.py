@@ -25,13 +25,14 @@ CODA_SYMBOLS = tuple(sorted(set(CODAS.values())))
 
 TONED_VOWELS = tuple(f"{v}_{t}" for v in VOWELS for t in TONES)
 
+# Bare (stress-stripped) ARPAbet inventory: the sequence codec strips the
+# stress digit before lookup ("@AA1" -> "@AA", reference g2p/__init__.py:52),
+# so the table stores one entry per phone, not per stress variant.
 CMU = tuple(
     f"@{ph}"
     for ph in (
-        "AA0 AA1 AA2 AE0 AE1 AE2 AH0 AH1 AH2 AO0 AO1 AO2 AW0 AW1 AW2 "
-        "AY0 AY1 AY2 B CH D DH EH0 EH1 EH2 ER0 ER1 ER2 EY0 EY1 EY2 F G HH "
-        "IH0 IH1 IH2 IY0 IY1 IY2 JH K L M N NG OW0 OW1 OW2 OY0 OY1 OY2 "
-        "P R S SH T TH UH0 UH1 UH2 UW UW0 UW1 UW2 V W Y Z ZH"
+        "AA AE AH AO AW AY B CH D DH EH ER EY F G HH IH IY JH K L M N NG "
+        "OW OY P R S SH T TH UH UW V W Y Z ZH"
     ).split()
 )
 

@@ -24,6 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _lang_symbols(lang: str):
+    """(n_symbols, symbol_table) for a frontend language."""
+    if lang == "eng":
+        from ..text.english import ENGLISH_SYMBOLS, ENGLISH_SYMBOL_TO_ID
+
+        return len(ENGLISH_SYMBOLS), ENGLISH_SYMBOL_TO_ID
+    from ..text import symbols
+
+    return len(symbols), None
+
+
 def cmd_prepare(args):
     from ..config import default_config, load_config
     from ..data import (
@@ -42,7 +53,9 @@ def cmd_prepare(args):
     if args.supervised:
         create_supervised_filelist(args.corpus, filelist)
     else:
-        _, skipped = create_unsupervised_filelist(args.corpus, filelist)
+        _, skipped = create_unsupervised_filelist(
+            args.corpus, filelist, lang=args.lang
+        )
         if skipped:
             print(f"[prepare] skipped {len(skipped)} OOV utterances")
 
@@ -107,6 +120,7 @@ def cmd_acoustic(args):
 
     entries, stats, speakers = _load_workdir(args.workdir)
     train_entries, valid_entries = split_train_valid(entries, seed=config.train.seed)
+    n_symbols, symbol_table = _lang_symbols(args.lang)
     dataset = AcousticDataset(
         train_entries,
         speakers,
@@ -114,11 +128,12 @@ def cmd_acoustic(args):
         config,
         supervised=args.supervised,
         prior_cache_dir=os.path.join(args.workdir, "priors"),
+        symbol_table=symbol_table,
     )
 
     model = FastSpeech2(
         config=config.models.fastspeech2,
-        n_symbols=len(symbols),
+        n_symbols=n_symbols,
         n_speakers=len(speakers),
         n_mel_channels=config.audio.mel.channels,
         stats=FeatureStats.from_dict(stats),
@@ -164,6 +179,7 @@ def cmd_acoustic(args):
         valid_entries, speakers, stats, config,
         supervised=args.supervised,
         prior_cache_dir=os.path.join(args.workdir, "priors"),
+        symbol_table=symbol_table,
     )
 
     def run_validation(state, step):
@@ -334,15 +350,17 @@ def cmd_e2e(args):
     config = load_config(args.config) if args.config else default_config()
     entries, stats, speakers = _load_workdir(args.workdir)
     train_entries, _ = split_train_valid(entries, seed=config.train.seed)
+    n_symbols, symbol_table = _lang_symbols(args.lang)
     dataset = AcousticDataset(
         train_entries, speakers, stats, config,
         prior_cache_dir=os.path.join(args.workdir, "priors"),
+        symbol_table=symbol_table,
     )
     wav_by_path = {}
 
     model = FastSpeech2(
         config=config.models.fastspeech2,
-        n_symbols=len(symbols),
+        n_symbols=n_symbols,
         n_speakers=len(speakers),
         n_mel_channels=config.audio.mel.channels,
         stats=FeatureStats.from_dict(stats),
@@ -450,13 +468,15 @@ def cmd_generate_mels(args):
 
     config = load_config(args.config) if args.config else default_config()
     entries, stats, speakers = _load_workdir(args.workdir)
+    n_symbols, symbol_table = _lang_symbols(args.lang)
     dataset = AcousticDataset(
         entries, speakers, stats, config,
         prior_cache_dir=os.path.join(args.workdir, "priors"),
+        symbol_table=symbol_table,
     )
     model = FastSpeech2(
         config=config.models.fastspeech2,
-        n_symbols=len(symbols),
+        n_symbols=n_symbols,
         n_speakers=len(speakers),
         n_mel_channels=config.audio.mel.channels,
         stats=FeatureStats.from_dict(stats),
@@ -531,9 +551,10 @@ def cmd_export(args):
 
     from ..nn.variance import FeatureStats as FS
 
+    n_symbols, _ = _lang_symbols(args.lang)
     model = FastSpeech2(
         config=config.models.fastspeech2,
-        n_symbols=len(symbols),
+        n_symbols=n_symbols,
         n_speakers=len(speakers),
         n_mel_channels=config.audio.mel.channels,
         stats=FS.from_dict(stats),
@@ -562,6 +583,7 @@ def cmd_export(args):
         speakers,
         FS.from_dict(stats),
         kind,
+        language=args.lang,
     )
     print(f"[export] bundle -> {args.output}")
 
@@ -574,6 +596,7 @@ def main(argv=None):
     pp.add_argument("--corpus", nargs="+", required=True)
     pp.add_argument("--workdir", required=True)
     pp.add_argument("--config")
+    pp.add_argument("--lang", default="vie", choices=["vie", "eng"])
     pp.add_argument("--supervised", action="store_true")
     pp.add_argument("--overwrite", action="store_true")
     pp.set_defaults(fn=cmd_prepare)
@@ -581,6 +604,7 @@ def main(argv=None):
     pa = sub.add_parser("acoustic")
     pa.add_argument("--workdir", required=True)
     pa.add_argument("--config")
+    pa.add_argument("--lang", default="vie", choices=["vie", "eng"])
     pa.add_argument("--steps", type=int, default=600000)
     pa.add_argument("--ckpt-every", type=int, default=5000)
     pa.add_argument("--supervised", action="store_true")
@@ -598,6 +622,7 @@ def main(argv=None):
     pj = sub.add_parser("e2e")
     pj.add_argument("--workdir", required=True)
     pj.add_argument("--config")
+    pj.add_argument("--lang", default="vie", choices=["vie", "eng"])
     pj.add_argument("--steps", type=int, default=100000)
     pj.add_argument("--ckpt-every", type=int, default=5000)
     pj.set_defaults(fn=cmd_e2e)
@@ -605,12 +630,14 @@ def main(argv=None):
     pg = sub.add_parser("generate-mels")
     pg.add_argument("--workdir", required=True)
     pg.add_argument("--config")
+    pg.add_argument("--lang", default="vie", choices=["vie", "eng"])
     pg.set_defaults(fn=cmd_generate_mels)
 
     pe = sub.add_parser("export")
     pe.add_argument("--workdir", required=True)
     pe.add_argument("--output", required=True)
     pe.add_argument("--config")
+    pe.add_argument("--lang", default="vie", choices=["vie", "eng"])
     pe.add_argument("--istft", action="store_true")
     pe.set_defaults(fn=cmd_export)
 

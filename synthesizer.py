@@ -15,7 +15,30 @@ import os
 from typing import Dict, Optional
 
 from e2e_tts_tpu.serve import SynthesisEngine, Synthesizer as _VNSynthesizer
-from e2e_tts_tpu.serve.voice_conversion import SpectralVoiceConverter
+from e2e_tts_tpu.serve.voice_conversion import (
+    KnnVoiceConverter,
+    SpectralVoiceConverter,
+)
+
+
+def discover_bundles(root: Optional[str] = None) -> Dict[str, str]:
+    """Scan ``assets/bundles/*/meta.json`` for deployable voices, keyed by
+    their language tag.  Trained tiny voices checked into the repo register
+    automatically, so the router serves >1 language out of the box."""
+    import glob
+    import json
+
+    root = root or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "assets", "bundles")
+    found: Dict[str, str] = {}
+    for meta in sorted(glob.glob(os.path.join(root, "*", "meta.json"))):
+        try:
+            with open(meta) as f:
+                lang = json.load(f).get("language", "vie")
+        except (OSError, ValueError):
+            continue
+        found.setdefault(lang, os.path.dirname(meta))
+    return found
 
 
 class Synthesizer:
@@ -24,19 +47,36 @@ class Synthesizer:
         vie_bundle: Optional[str] = None,
         engine: Optional[SynthesisEngine] = None,
         extra_models: Optional[Dict[str, object]] = None,
+        bundles: Optional[Dict[str, str]] = None,
+        auto_discover: bool = True,
         output_dir: str = "outputs",
     ) -> None:
-        if engine is None:
-            engine = (
-                SynthesisEngine.from_checkpoint(vie_bundle)
-                if vie_bundle
-                else SynthesisEngine.from_random(seed=0)
+        bundles = dict(bundles or {})
+        if auto_discover:
+            for lang, path in discover_bundles().items():
+                bundles.setdefault(lang, path)
+        if vie_bundle:
+            bundles["vie"] = vie_bundle
+
+        self.model_dict: Dict[str, object] = {}
+        for lang, path in bundles.items():
+            eng = SynthesisEngine.from_checkpoint(path)
+            self.model_dict[lang] = _VNSynthesizer(
+                engine=eng, output_dir=output_dir
             )
-        vn = _VNSynthesizer(engine=engine, output_dir=output_dir)
-        self.model_dict: Dict[str, object] = {"vie": vn}
+        if engine is not None or "vie" not in self.model_dict:
+            engine = engine or SynthesisEngine.from_random(seed=0)
+            self.model_dict["vie"] = _VNSynthesizer(
+                engine=engine, output_dir=output_dir
+            )
         if extra_models:
             self.model_dict.update(extra_models)
-        self.voice_converter = SpectralVoiceConverter()
+        # kNN-VC rendered by the vie engine's trained vocoder when present;
+        # spectral-envelope DSP fallback otherwise (voice_conversion.py)
+        vn = self.model_dict.get("vie")
+        self.voice_converter = KnnVoiceConverter(
+            engine=getattr(vn, "engine", None)
+        )
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
 

@@ -1,0 +1,128 @@
+"""Voice conversion tests: kNN-VC (learned-feature matching + vocoder
+rendering) and the DSP fallback.
+
+Checks the VERDICT round-1 item-7 contract: conversion shifts speaker
+statistics toward the target while preserving the source's content
+(reference surface: FreeVC via synthesizer.py:26-28,58-65).
+"""
+
+import numpy as np
+import pytest
+
+from e2e_tts_tpu.audio.mel import MelParams, mel_spectrogram
+from e2e_tts_tpu.audio.wav import write_wav
+from e2e_tts_tpu.config import default_config
+from e2e_tts_tpu.data.synthetic import synth_text
+from e2e_tts_tpu.serve.voice_conversion import (
+    KnnVoiceConverter,
+    SpectralVoiceConverter,
+)
+
+SR = 22050
+
+
+def _mel(audio):
+    p = MelParams.from_config(default_config().audio)
+    return np.asarray(mel_spectrogram(audio[None], p)[0], np.float32).T
+
+
+def test_knn_identity_recovers_source():
+    """source == target -> every frame's nearest neighbor is itself."""
+    audio = synth_text("xin chào bạn", f0=180.0, seed=0)
+    mel = _mel(audio)
+    vc = KnnVoiceConverter(k=1)
+    out = vc.convert_mel(mel, mel)
+    assert out.shape == mel.shape
+    assert np.abs(out - mel).mean() < 1e-3
+
+
+def test_knn_output_frames_come_from_target():
+    src = _mel(synth_text("xin chào bạn", f0=150.0, seed=0))
+    tgt = _mel(synth_text("em yêu hoa lá", f0=220.0, seed=1))
+    vc = KnnVoiceConverter(k=4)
+    out = vc.convert_mel(src, tgt)
+    assert out.shape == src.shape
+    # convex combination of target frames: bounded by target's range
+    lo, hi = tgt.min(axis=0) - 1e-4, tgt.max(axis=0) + 1e-4
+    assert (out >= lo[None, :]).all() and (out <= hi[None, :]).all()
+
+
+def test_knn_shifts_speaker_stats_preserving_content():
+    """Same text, different synthetic speakers: the converted mel's global
+    statistics move toward the target speaker while the frame-level content
+    trajectory stays correlated with the source."""
+    text = "xin chào bạn tôi yêu nước non"
+    src = _mel(synth_text(text, f0=150.0, seed=0))   # "nam"
+    tgt_same = _mel(synth_text(text, f0=220.0, seed=0))  # "nu", same text
+    vc = KnnVoiceConverter(k=4)
+    out = vc.convert_mel(src, tgt_same)
+
+    # speaker shift: per-bin mean spectrum closer to target than source's is
+    d_out_tgt = np.abs(out.mean(0) - tgt_same.mean(0)).mean()
+    d_src_tgt = np.abs(src.mean(0) - tgt_same.mean(0)).mean()
+    assert d_out_tgt < 0.5 * d_src_tgt, (d_out_tgt, d_src_tgt)
+
+    # content preserved: normalized frame trajectories track the source
+    def z(m):
+        return (m - m.mean(0)) / (m.std(0) + 1e-5)
+
+    zs, zo = z(src), z(out)
+    corr = float((zs * zo).mean() / max(zs.std() * zo.std(), 1e-6))
+    assert corr > 0.5, corr
+
+
+@pytest.fixture(scope="module")
+def small_engine():
+    from e2e_tts_tpu.serve import SynthesisEngine
+
+    cfg = default_config()
+    hifi = cfg.models.hifigan.replace(
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    fs2 = cfg.models.fastspeech2
+    small = fs2.replace(
+        encoder_layers=1, decoder_layers=1, encoder_hidden=64, decoder_hidden=64,
+        building_block=fs2.building_block.replace(
+            transformer=fs2.building_block.transformer.replace(conv_filter_size=64)
+        ),
+        postnet=fs2.postnet.replace(embedding_dim=64, conv_layers=2),
+    )
+    cfg = cfg.replace(models=cfg.models.replace(fastspeech2=small, hifigan=hifi))
+    return SynthesisEngine.from_random(seed=0, config=cfg)
+
+
+def test_knn_end_to_end_with_engine(tmp_path, small_engine):
+    src_path = str(tmp_path / "src.wav")
+    tgt_path = str(tmp_path / "tgt.wav")
+    out_path = str(tmp_path / "out.wav")
+    write_wav(src_path, synth_text("xin chào bạn", f0=150.0, seed=0), SR)
+    write_wav(tgt_path, synth_text("em yêu hoa lá", f0=220.0, seed=1), SR)
+
+    vc = KnnVoiceConverter(engine=small_engine)
+    result = vc.convert(src_path, tgt_path, out_path)
+    assert result == out_path
+    wav = np.fromfile(out_path, dtype=np.int16)[22:]  # skip header
+    assert len(wav) > 1000
+
+
+def test_vocode_mel_shapes(small_engine):
+    n_mels = small_engine.config.audio.mel.channels
+    mel = np.random.RandomState(0).randn(77, n_mels).astype(np.float32)
+    audio = small_engine.vocode_mel(mel)
+    assert audio.shape == (77 * small_engine.hop_length,)
+    assert audio.dtype == np.float32
+
+
+def test_fallback_without_engine(tmp_path):
+    src_path = str(tmp_path / "src.wav")
+    tgt_path = str(tmp_path / "tgt.wav")
+    out_path = str(tmp_path / "out.wav")
+    write_wav(src_path, synth_text("xin chào", f0=150.0, seed=0), SR)
+    write_wav(tgt_path, synth_text("hoa lá", f0=220.0, seed=1), SR)
+    vc = KnnVoiceConverter(engine=None)
+    assert isinstance(vc.fallback, SpectralVoiceConverter)
+    result = vc.convert(src_path, tgt_path, out_path)
+    assert result == out_path
+    wav = np.fromfile(out_path, dtype=np.int16)[22:]
+    assert len(wav) > 1000

@@ -1,0 +1,182 @@
+"""Train a tiny deployable voice on the deterministic synthetic corpus and
+snapshot golden outputs for the quality regression tests.
+
+Produces:
+  assets/bundles/<name>/         serving bundle (config/speakers/stats/params)
+  tests/assets/golden_<name>/    golden mel snapshots + DSP stats
+
+Usage:
+  python tools/make_tiny_bundle.py --name vie_tiny \
+      --acoustic-steps 4000 --vocoder-steps 3000
+
+The corpus is formant-synthesized (e2e_tts_tpu/data/synthetic.py) so the
+mapping text -> audio is deterministic and learnable; the golden snapshots
+prove the full train -> export -> serve loop yields voiced, text-dependent,
+reproducible audio (VERDICT.md round-1 item 4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GOLDEN_TEXTS = [
+    "xin chào việt nam",
+    "em yêu hoa lá trên núi",
+]
+
+
+def tiny_config():
+    import jax.numpy as jnp  # noqa: F401  (jax import order)
+
+    from e2e_tts_tpu.config import default_config
+
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    small = fs2.replace(
+        encoder_layers=2, decoder_layers=2, encoder_hidden=48, decoder_hidden=48,
+        building_block=fs2.building_block.replace(
+            transformer=fs2.building_block.transformer.replace(
+                conv_filter_size=128, encoder_dropout=0.1, decoder_dropout=0.1
+            )
+        ),
+        variance=fs2.variance.replace(
+            duration_modelling=fs2.variance.duration_modelling.replace(
+                binarization_start_steps=600
+            ),
+            variance_predictor=fs2.variance.variance_predictor.replace(
+                filter_size=64, dropout=0.25
+            ),
+        ),
+        postnet=fs2.postnet.replace(embedding_dim=48, conv_layers=3),
+    )
+    hifi = cfg.models.hifigan.replace(
+        upsample_initial_channel=128,
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    opt = cfg.train.fastspeech2_optimizer.replace(warm_up_step=200)
+    loss = cfg.train.fastspeech2_loss.replace(
+        binarization_loss_enable_steps=200,
+        binarization_loss_warmup_steps=800,
+    )
+    train = cfg.train.replace(
+        batch_size=16,
+        log_step=100,
+        fastspeech2_optimizer=opt,
+        fastspeech2_loss=loss,
+    )
+    return cfg.replace(
+        models=cfg.models.replace(fastspeech2=small, hifigan=hifi), train=train
+    )
+
+
+def dsp_stats(audio: np.ndarray, sr: int) -> dict:
+    """Voicing / spectral sanity numbers for golden comparison."""
+    x = audio.astype(np.float64)
+    x = x / max(np.abs(x).max(), 1e-9)
+    # autocorrelation-based periodicity in the 80-400 Hz lag band
+    frame = x[: min(len(x), sr)]
+    ac = np.correlate(frame, frame, "full")[len(frame) - 1 :]
+    ac /= max(ac[0], 1e-9)
+    lo, hi = int(sr / 400), int(sr / 80)
+    peak_lag = lo + int(np.argmax(ac[lo:hi]))
+    spec = np.abs(np.fft.rfft(frame)) ** 2
+    freqs = np.fft.rfftfreq(len(frame), 1 / sr)
+    lowband = float(spec[freqs < 4000].sum() / max(spec.sum(), 1e-12))
+    return {
+        "periodicity": float(ac[peak_lag]),
+        "f0_est": float(sr / peak_lag),
+        "lowband_energy": lowband,
+        "rms": float(np.sqrt((x**2).mean())),
+        "n_samples": int(len(audio)),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--name", default="vie_tiny")
+    ap.add_argument("--lang", default="vie", choices=["vie", "eng"])
+    ap.add_argument("--acoustic-steps", type=int, default=4000)
+    ap.add_argument("--vocoder-steps", type=int, default=3000)
+    ap.add_argument("--corpus", default=None, help="reuse an existing corpus dir")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args(argv)
+
+    from e2e_tts_tpu.config import save_config
+    from e2e_tts_tpu.data.synthetic import make_synthetic_corpus
+    from e2e_tts_tpu.train.cli import main as cli
+
+    corpus = args.corpus or f"/tmp/tiny_corpus_{args.name}"
+    workdir = args.workdir or f"/tmp/tiny_work_{args.name}"
+    bundle = os.path.join(REPO, "assets", "bundles", args.name)
+    golden_dir = os.path.join(REPO, "tests", "assets", f"golden_{args.name}")
+
+    lang_kw = {}
+    if args.lang == "eng":
+        from e2e_tts_tpu.data.synthetic import make_sentences
+        from e2e_tts_tpu.text.english import ENGLISH_VOCAB, english_phonemize
+
+        lang_kw = {
+            "sentences": make_sentences(48, seed=0, vocab=ENGLISH_VOCAB),
+            "phonemize_fn": lambda s: english_phonemize(s)[0],
+        }
+
+    if not os.path.exists(os.path.join(corpus, "metadata.csv")):
+        make_synthetic_corpus(corpus, n_sentences=48, seed=0, **lang_kw)
+        print(f"[tiny] corpus -> {corpus}")
+
+    cfg = tiny_config()
+    os.makedirs(workdir, exist_ok=True)
+    cfg_path = os.path.join(workdir, "config.yaml")
+    save_config(cfg, cfg_path)
+
+    common = ["--workdir", workdir, "--config", cfg_path]
+    lang_flag = ["--lang", args.lang] if args.lang != "vie" else []
+    if not os.path.exists(os.path.join(workdir, "file_list.txt")):
+        cli(["prepare", "--corpus", corpus] + common + lang_flag)
+    cli(["acoustic"] + common + lang_flag +
+        ["--steps", str(args.acoustic_steps), "--ckpt-every", "1000"])
+    cli(["vocoder"] + common +
+        ["--steps", str(args.vocoder_steps), "--ckpt-every", "1000"])
+    cli(["export", "--output", bundle] + common + lang_flag)
+
+    # ---- golden snapshots ---------------------------------------------------
+    from e2e_tts_tpu.audio.mel import MelParams, mel_spectrogram
+    from e2e_tts_tpu.serve import SynthesisEngine
+
+    eng = SynthesisEngine.from_checkpoint(bundle)
+    os.makedirs(golden_dir, exist_ok=True)
+    texts = GOLDEN_TEXTS
+    if args.lang == "eng":
+        texts = ["hello world we sing", "the sun and the moon"]
+    stats_all = {}
+    for i, text in enumerate(texts):
+        for spk in sorted(eng.speakers):
+            audio = eng.synthesize(text, speaker_id=spk, silence_distance=0.0)
+            f32 = audio.astype(np.float32) / 32768.0
+            mel = np.asarray(
+                mel_spectrogram(f32[None], MelParams.from_config(eng.config.audio))[0]
+            )
+            np.save(os.path.join(golden_dir, f"mel_{i}_{spk}.npy"),
+                    mel.astype(np.float16))
+            stats_all[f"{i}_{spk}"] = dsp_stats(f32, eng.sample_rate)
+    with open(os.path.join(golden_dir, "stats.json"), "w") as f:
+        json.dump({"texts": texts, "stats": stats_all}, f, indent=1)
+    print(f"[tiny] bundle -> {bundle}")
+    print(f"[tiny] golden -> {golden_dir}")
+    for k, v in stats_all.items():
+        print(f"  {k}: periodicity={v['periodicity']:.3f} "
+              f"f0={v['f0_est']:.0f} lowband={v['lowband_energy']:.3f} "
+              f"rms={v['rms']:.3f}")
+
+
+if __name__ == "__main__":
+    main()
