@@ -3,3 +3,4 @@ from .bundle import load_bundle, save_bundle
 from .chunking import arrange_text
 from .engine import SynthesisEngine
 from .inference import Synthesizer
+from .queue import BatchingServer

@@ -70,12 +70,34 @@ class SynthesisEngine:
         dtype=jnp.float32,
         use_folded_vocoder: Optional[bool] = None,
         language: str = "vie",
+        serving_devices: Optional[int] = None,
     ):
         self.config = config
         self.speakers = speakers
         self.stats = stats
         self.vocoder_kind = vocoder_kind
         self.batch_size = batch_size
+
+        # Data-parallel serving (SURVEY §2.10): shard the batch axis of every
+        # serving program over a 1-D device mesh; params replicate.  The same
+        # bucketed programs serve 1 or N chips — XLA partitions them, no
+        # per-device program copies.  serving_devices=None -> single device.
+        self.serve_mesh = None
+        if serving_devices is not None and serving_devices > 1:
+            devs = jax.local_devices()
+            if serving_devices > len(devs):
+                raise ValueError(
+                    f"serving_devices={serving_devices} > {len(devs)} local"
+                )
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            self.serve_mesh = Mesh(
+                np.array(devs[:serving_devices]), ("data",)
+            )
+            self._shard_rep = NamedSharding(self.serve_mesh, P())
+            self._shard_bat = NamedSharding(self.serve_mesh, P("data"))
+            # every batch must fill the mesh evenly
+            self.batch_size = -(-batch_size // serving_devices) * serving_devices
         self.foreign_dict = foreign_dict or {}
         self.hop_length = config.audio.stft.hop_length
         self.sample_rate = config.audio.signal.sampling_rate
@@ -147,6 +169,22 @@ class SynthesisEngine:
 
     # --- program builders -------------------------------------------------
 
+    def _serve_jit(self, fn, in_batched, out_batched):
+        """jit with batch-axis sharding over the serving mesh (no-op mesh ->
+        plain jit).  ``in_batched``/``out_batched``: bool per arg/output,
+        True = shard axis 0 over 'data', False = replicate."""
+        if self.serve_mesh is None:
+            return jax.jit(fn)
+        ins = tuple(
+            self._shard_bat if b else self._shard_rep for b in in_batched
+        )
+        outs = tuple(
+            self._shard_bat if b else self._shard_rep for b in out_batched
+        )
+        if len(outs) == 1:
+            outs = outs[0]
+        return jax.jit(fn, in_shardings=ins, out_shardings=outs)
+
     def _stage1(self, L: int):
         with self._cache_lock:
             return self._stage1_locked(L)
@@ -165,7 +203,11 @@ class SynthesisEngine:
                     method=self.acoustic.synthesize_stage1,
                 )
 
-            self._stage1_cache[L] = jax.jit(fn)
+            self._stage1_cache[L] = self._serve_jit(
+                fn,
+                in_batched=(False, True, True, True, False, False, False),
+                out_batched=(True, True),
+            )
             self.n_programs_compiled += 1
         return self._stage1_cache[L]
 
@@ -194,7 +236,11 @@ class SynthesisEngine:
                 ).astype(jnp.int16)
                 return audio_i16, mel_lens
 
-            self._stage2_cache[key] = jax.jit(fn)
+            self._stage2_cache[key] = self._serve_jit(
+                fn,
+                in_batched=(False, False, True, True, False, False),
+                out_batched=(True, True),
+            )
             self.n_programs_compiled += 1
         return self._stage2_cache[key]
 
@@ -228,7 +274,13 @@ class SynthesisEngine:
                 total_dur = jnp.sum(durations, axis=-1)
                 return audio_i16, mel_lens, total_dur, x, durations
 
-            self._stage2_cache[key] = jax.jit(fn)
+            self._stage2_cache[key] = self._serve_jit(
+                fn,
+                in_batched=(
+                    False, False, True, True, True, False, False, False,
+                ),
+                out_batched=(True, True, True, True, True),
+            )
             self.n_programs_compiled += 1
         return self._stage2_cache[key]
 
@@ -244,13 +296,22 @@ class SynthesisEngine:
         silence_distance: float = 0.5,
     ) -> np.ndarray:
         """Full text -> int16 waveform (chunking + batching + stitching)."""
+        seqs, spk = self.prepare_request(text, speaker_id)
+        if not seqs:
+            return np.zeros(0, np.int16)
+        audios = self._synthesize_sequences(
+            seqs, spk, pitch_control, energy_control, duration_control
+        )
+        return self._combine(audios, int(silence_distance * self.sample_rate))
+
+    def prepare_request(self, text, speaker_id: Optional[str] = None):
+        """(text, speaker_id) -> (chunk sequences, speaker index).  Host-side
+        chunking + phonemization, shared by ``synthesize`` and the batching
+        queue (serve/queue.py)."""
         texts = [text] if isinstance(text, str) else list(text)
         chunks = arrange_text(texts, self.max_len)
         seqs = [np.asarray(self._to_sequence(c), np.int32) for c in chunks]
         seqs = [s for s in seqs if len(s) > 0]
-        if not seqs:
-            return np.zeros(0, np.int16)
-
         if speaker_id is None or not self.speakers:
             spk = 0
         elif speaker_id in self.speakers:
@@ -260,15 +321,20 @@ class SynthesisEngine:
                 f"unknown speaker_id {speaker_id!r}; "
                 f"known: {sorted(self.speakers)}"
             )
-        audios = self._synthesize_sequences(
-            seqs, spk, pitch_control, energy_control, duration_control
-        )
-        return self._combine(audios, int(silence_distance * self.sample_rate))
+        return seqs, spk
 
     def _synthesize_sequences(
-        self, seqs, speaker: int, p: float, e: float, d: float
+        self, seqs, speaker, p: float, e: float, d: float
     ) -> List[np.ndarray]:
-        """Bucket, batch, run both stages, return trimmed float waveforms."""
+        """Bucket, batch, run both stages, return trimmed float waveforms.
+
+        ``speaker``: one id for all sequences, or a per-sequence list (the
+        batching queue packs requests from different speakers together)."""
+        if np.ndim(speaker) == 0:
+            spk_of = np.full(len(seqs), int(speaker), np.int32)
+        else:
+            spk_of = np.asarray(speaker, np.int32)
+            assert len(spk_of) == len(seqs)
         order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
         results: List[Optional[np.ndarray]] = [None] * len(seqs)
 
@@ -284,10 +350,11 @@ class SynthesisEngine:
                 B = self.batch_size
                 texts = np.zeros((B, L), np.int32)
                 lens = np.ones((B,), np.int32)  # dummy rows: length 1
+                speakers = np.zeros((B,), np.int32)
                 for row, i in enumerate(batch_idx):
                     texts[row, : len(seqs[i])] = seqs[i]
                     lens[row] = len(seqs[i])
-                speakers = np.full((B,), speaker, np.int32)
+                    speakers[row] = spk_of[i]
 
                 # fast path: one fused dispatch at an estimated mel bucket
                 # (~8 frames/phoneme of typical speech, scaled by d_control).
@@ -348,7 +415,7 @@ class SynthesisEngine:
                                 results[i] = fit_audio_np[row, :n]
                             else:
                                 parts = self._synthesize_sequences(
-                                    pieces, speaker, p, e, d
+                                    pieces, int(spk_of[i]), p, e, d
                                 )
                                 results[i] = np.concatenate(parts)
                     continue

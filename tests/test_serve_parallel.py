@@ -1,0 +1,129 @@
+"""Multi-device serving tests: batch-axis sharding over a device mesh and
+the cross-request batching queue.
+
+Runs on the virtual 8-device CPU platform (tests/conftest.py).  Checks
+SURVEY §2.10's scale-out serving design: same bucketed programs, batch axis
+sharded via NamedSharding, requests from many callers packed per dispatch.
+"""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from e2e_tts_tpu.config import default_config
+from e2e_tts_tpu.serve import BatchingServer, SynthesisEngine
+
+
+def _small_cfg():
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    small = fs2.replace(
+        encoder_layers=1, decoder_layers=1, encoder_hidden=64, decoder_hidden=64,
+        building_block=fs2.building_block.replace(
+            transformer=fs2.building_block.transformer.replace(conv_filter_size=64)
+        ),
+        postnet=fs2.postnet.replace(embedding_dim=64, conv_layers=2),
+    )
+    hifi = cfg.models.hifigan.replace(
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    return cfg.replace(models=cfg.models.replace(fastspeech2=small, hifigan=hifi))
+
+
+@pytest.fixture(scope="module")
+def single_engine():
+    return SynthesisEngine.from_random(seed=0, config=_small_cfg())
+
+
+@pytest.fixture(scope="module")
+def sharded_engine():
+    assert len(jax.local_devices()) >= 8, "conftest should provide 8 devices"
+    return SynthesisEngine.from_random(
+        seed=0, config=_small_cfg(), serving_devices=8, batch_size=8
+    )
+
+
+def test_sharded_engine_rounds_batch(sharded_engine):
+    assert sharded_engine.serve_mesh is not None
+    assert sharded_engine.batch_size % 8 == 0
+
+
+def test_sharded_matches_single_device(single_engine, sharded_engine):
+    text = "xin chào việt nam hôm nay trời đẹp"
+    a = single_engine.synthesize(text, silence_distance=0.0)
+    b = sharded_engine.synthesize(text, silence_distance=0.0)
+    assert a.shape == b.shape
+    # same weights, same program math; sharding only changes partitioning.
+    # Allow a few LSBs of reassociation noise around the int16 quantize.
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert diff.max() <= 2, diff.max()
+
+
+def test_sharded_batch_fills_mesh(sharded_engine):
+    # more chunks than one batch: multiple sharded dispatches
+    texts = ["xin chào bạn"] * 10
+    audio = sharded_engine.synthesize(texts, silence_distance=0.1)
+    assert audio.dtype == np.int16 and len(audio) > 0
+
+
+def test_batching_server_single(single_engine):
+    with BatchingServer(single_engine) as srv:
+        audio = srv.synthesize("xin chào việt nam", silence_distance=0.0)
+    ref = single_engine.synthesize("xin chào việt nam", silence_distance=0.0)
+    np.testing.assert_array_equal(audio, ref)
+
+
+def test_batching_server_concurrent_requests(single_engine):
+    texts = [
+        "xin chào bạn",
+        "hôm nay trời đẹp",
+        "em yêu hoa lá",
+        "núi sông hùng vĩ",
+    ]
+    speakers = [f"speaker_{i % 2}" for i in range(len(texts))]
+    with BatchingServer(single_engine, max_wait_ms=50.0) as srv:
+        barrier = threading.Barrier(len(texts))
+        futures = [None] * len(texts)
+
+        def go(i):
+            barrier.wait()
+            futures[i] = srv.submit(
+                texts[i], speaker_id=speakers[i], silence_distance=0.0
+            )
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(len(texts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        outs = [f.result(timeout=600) for f in futures]
+
+    # every request resolved to the same audio a solo synthesize produces
+    for text, spk, out in zip(texts, speakers, outs):
+        ref = single_engine.synthesize(
+            text, speaker_id=spk, silence_distance=0.0
+        )
+        np.testing.assert_array_equal(out, ref)
+    # concurrency actually batched: fewer cycles than requests
+    assert srv.n_cycles <= len(texts)
+
+
+def test_batching_server_mixed_controls(single_engine):
+    with BatchingServer(single_engine, max_wait_ms=50.0) as srv:
+        f1 = srv.submit("xin chào", duration_control=1.0, silence_distance=0.0)
+        f2 = srv.submit("xin chào", duration_control=1.2, silence_distance=0.0)
+        a1, a2 = f1.result(timeout=600), f2.result(timeout=600)
+    # different duration controls give different lengths
+    assert len(a2) > len(a1)
+
+
+def test_batching_server_bad_speaker_fails_only_that_request(single_engine):
+    with BatchingServer(single_engine) as srv:
+        bad = srv.submit("xin chào", speaker_id="nope")
+        good = srv.submit("xin chào", silence_distance=0.0)
+        with pytest.raises(KeyError):
+            bad.result(timeout=600)
+        assert len(good.result(timeout=600)) > 0
