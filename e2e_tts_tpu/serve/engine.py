@@ -40,6 +40,9 @@ MAX_MEL_LEN = 2048
 DEFAULT_BATCH = 8
 # fused fast-path duration estimate (frames per phoneme at d_control=1)
 FRAMES_PER_PHONEME_EST = 8
+# max fused batches in flight (async dispatch ahead of the host drain);
+# bounds device memory: each holds its audio bucket + stage-1 activations
+PIPELINE_DEPTH = 4
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
@@ -72,6 +75,10 @@ class SynthesisEngine:
         language: str = "vie",
         serving_devices: Optional[int] = None,
     ):
+        from ..utils.compilation_cache import enable_persistent_cache
+
+        enable_persistent_cache()  # serving restarts skip bucket recompiles
+
         self.config = config
         self.speakers = speakers
         self.stats = stats
@@ -344,85 +351,110 @@ class SynthesisEngine:
             b = _bucket_for(len(seqs[i]), TEXT_BUCKETS)
             groups.setdefault(b, []).append(i)
 
-        for L, idxs in groups.items():
-            for s in range(0, len(idxs), self.batch_size):
-                batch_idx = idxs[s : s + self.batch_size]
-                B = self.batch_size
-                texts = np.zeros((B, L), np.int32)
-                lens = np.ones((B,), np.int32)  # dummy rows: length 1
-                speakers = np.zeros((B,), np.int32)
-                for row, i in enumerate(batch_idx):
-                    texts[row, : len(seqs[i])] = seqs[i]
-                    lens[row] = len(seqs[i])
-                    speakers[row] = spk_of[i]
+        # Pipelined dispatch/drain: up to PIPELINE_DEPTH fused batches are in
+        # flight at once (XLA execution is async, so batch k+1 computes while
+        # batch k's results cross the host link); the drain fetches only the
+        # (B,) duration totals eagerly, and audio is sliced ON DEVICE to the
+        # longest real row before the D2H copy, so padded bucket tail never
+        # rides the tunnel (the serving bottleneck is D2H, not compute).
+        # The depth bound caps in-flight device memory for book-length input.
+        from collections import deque
 
-                # fast path: one fused dispatch at an estimated mel bucket
-                # (~8 frames/phoneme of typical speech, scaled by d_control).
-                # Only the (B,) duration totals are fetched to validate the
-                # estimate; the stage-1 activations stay on device so an
-                # overflow finishes via stage 2 alone — stage 1 never runs
-                # twice.
-                T_est = _mel_bucket(int(FRAMES_PER_PHONEME_EST * L * max(d, 1.0)))
-                audio, mel_lens, total_dur, x, durations = self._fused(L, T_est)(
-                    self.acoustic_params, self._voc_params,
-                    speakers, texts, lens, p, e, d,
-                )
-                total_np = np.asarray(total_dur)[: len(batch_idx)]
-                max_total = int(total_np.max())
-                if max_total <= T_est:
-                    audio_np = np.asarray(audio)
-                    mel_lens_np = np.asarray(mel_lens)
-                elif max_total <= MAX_MEL_LEN:
-                    T = _mel_bucket(max_total)
-                    audio, mel_lens = self._stage2(L, T)(
-                        self.acoustic_params, self._voc_params, x, durations, p, e
-                    )
-                    audio_np = np.asarray(audio)
-                    mel_lens_np = np.asarray(mel_lens)
-                else:
-                    # Some chunk predicts more frames than any bucket holds:
-                    # re-split the offending sequences at phoneme boundaries
-                    # (preferring <SILENT> pauses) and synthesize the pieces
-                    # recursively; fitting rows still finish via stage 2.
-                    audio_np = mel_lens_np = None
-                    T = _mel_bucket(min(max_total, MAX_MEL_LEN))
-                    fit_audio, fit_lens = self._stage2(L, T)(
-                        self.acoustic_params, self._voc_params, x, durations, p, e
-                    )
-                    fit_audio_np = np.asarray(fit_audio)
-                    fit_lens_np = np.asarray(fit_lens)
+        def _dispatch_all():
+            for L, idxs in groups.items():
+                for s in range(0, len(idxs), self.batch_size):
+                    batch_idx = idxs[s : s + self.batch_size]
+                    B = self.batch_size
+                    texts = np.zeros((B, L), np.int32)
+                    lens = np.ones((B,), np.int32)  # dummy rows: length 1
+                    speakers = np.zeros((B,), np.int32)
                     for row, i in enumerate(batch_idx):
-                        if int(total_np[row]) <= MAX_MEL_LEN:
+                        texts[row, : len(seqs[i])] = seqs[i]
+                        lens[row] = len(seqs[i])
+                        speakers[row] = spk_of[i]
+
+                    # fast path: one fused dispatch at an estimated mel
+                    # bucket (~8 frames/phoneme of typical speech, scaled by
+                    # d_control).  Only the (B,) duration totals are fetched
+                    # to validate the estimate; the stage-1 activations stay
+                    # on device so an overflow finishes via stage 2 alone —
+                    # stage 1 never runs twice.
+                    T_est = _mel_bucket(
+                        int(FRAMES_PER_PHONEME_EST * L * max(d, 1.0))
+                    )
+                    outs = self._fused(L, T_est)(
+                        self.acoustic_params, self._voc_params,
+                        speakers, texts, lens, p, e, d,
+                    )
+                    yield (batch_idx, L, T_est, outs)
+
+        pending = deque()
+        producer = _dispatch_all()
+        exhausted = False
+        while not exhausted or pending:
+            while not exhausted and len(pending) < PIPELINE_DEPTH:
+                try:
+                    pending.append(next(producer))
+                except StopIteration:
+                    exhausted = True
+            batch_idx, L, T_est, outs = pending.popleft()
+            audio, mel_lens, total_dur, x, durations = outs
+            total_np = np.asarray(total_dur)[: len(batch_idx)]
+            max_total = int(total_np.max())
+            if max_total <= T_est:
+                n_keep = min(max_total, T_est) * self.hop_length
+                audio_np = np.asarray(audio[:, :n_keep])
+                mel_lens_np = np.asarray(mel_lens)
+            elif max_total <= MAX_MEL_LEN:
+                T = _mel_bucket(max_total)
+                audio, mel_lens = self._stage2(L, T)(
+                    self.acoustic_params, self._voc_params, x, durations, p, e
+                )
+                audio_np = np.asarray(audio[:, : max_total * self.hop_length])
+                mel_lens_np = np.asarray(mel_lens)
+            else:
+                # Some chunk predicts more frames than any bucket holds:
+                # re-split the offending sequences at phoneme boundaries
+                # (preferring <SILENT> pauses) and synthesize the pieces
+                # recursively; fitting rows still finish via stage 2.
+                T = _mel_bucket(min(max_total, MAX_MEL_LEN))
+                fit_audio, fit_lens = self._stage2(L, T)(
+                    self.acoustic_params, self._voc_params, x, durations, p, e
+                )
+                fit_audio_np = np.asarray(fit_audio)
+                fit_lens_np = np.asarray(fit_lens)
+                for row, i in enumerate(batch_idx):
+                    if int(total_np[row]) <= MAX_MEL_LEN:
+                        n = int(fit_lens_np[row]) * self.hop_length
+                        results[i] = fit_audio_np[row, :n]
+                    else:
+                        pieces = self._split_sequence(
+                            seqs[i], int(total_np[row])
+                        )
+                        if len(pieces) <= 1:
+                            # cannot split further (degenerate input,
+                            # e.g. one phoneme predicting >MAX_MEL_LEN
+                            # frames): truncate with a warning rather
+                            # than recurse forever
+                            import warnings
+
+                            warnings.warn(
+                                f"chunk predicts {int(total_np[row])} mel "
+                                f"frames but cannot be split; truncating "
+                                f"to {MAX_MEL_LEN}"
+                            )
                             n = int(fit_lens_np[row]) * self.hop_length
                             results[i] = fit_audio_np[row, :n]
                         else:
-                            pieces = self._split_sequence(
-                                seqs[i], int(total_np[row])
+                            parts = self._synthesize_sequences(
+                                pieces, int(spk_of[i]), p, e, d
                             )
-                            if len(pieces) <= 1:
-                                # cannot split further (degenerate input,
-                                # e.g. one phoneme predicting >MAX_MEL_LEN
-                                # frames): truncate with a warning rather
-                                # than recurse forever
-                                import warnings
+                            results[i] = np.concatenate(parts)
+                continue
 
-                                warnings.warn(
-                                    f"chunk predicts {int(total_np[row])} mel "
-                                    f"frames but cannot be split; truncating "
-                                    f"to {MAX_MEL_LEN}"
-                                )
-                                n = int(fit_lens_np[row]) * self.hop_length
-                                results[i] = fit_audio_np[row, :n]
-                            else:
-                                parts = self._synthesize_sequences(
-                                    pieces, int(spk_of[i]), p, e, d
-                                )
-                                results[i] = np.concatenate(parts)
-                    continue
-
-                for row, i in enumerate(batch_idx):
-                    n = int(mel_lens_np[row]) * self.hop_length
-                    results[i] = audio_np[row, :n]
+            for row, i in enumerate(batch_idx):
+                n = int(mel_lens_np[row]) * self.hop_length
+                results[i] = audio_np[row, :n]
         return results
 
     def _split_sequence(self, seq: np.ndarray, total_frames: int) -> List[np.ndarray]:

@@ -589,6 +589,10 @@ def cmd_export(args):
 
 
 def main(argv=None):
+    from ..utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat CLI runs skip XLA recompiles
+
     p = argparse.ArgumentParser(prog="train.py")
     sub = p.add_subparsers(dest="cmd", required=True)
 
