@@ -12,21 +12,33 @@ import sys
 from synthesizer import Synthesizer
 
 # the reference exposes a large language dropdown backed by external Coqui
-# models (app.py:4-113); only languages with registered backends are served
-TTS_LANGUAGES = {"Vietnamese (vie)": "vie"}
+# models (app.py:4-113); only languages with registered backends are served —
+# the dropdown is built from the router's live language list at launch
+LANGUAGE_LABELS = {"vie": "Vietnamese (vie)", "eng": "English (eng)"}
 
 TTS_EXAMPLES = [
     ["xin chào việt nam", "Vietnamese (vie)"],
     ["hôm nay trời đẹp quá", "Vietnamese (vie)"],
     ["công nghệ trí tuệ nhân tạo đang thay đổi thế giới", "Vietnamese (vie)"],
+    ["hello world we sing the sun and moon", "English (eng)"],
 ]
+
+
+def language_choices(synthesizer: Synthesizer):
+    """label -> tag for every language the router actually serves."""
+    return {
+        LANGUAGE_LABELS.get(lang, lang): lang
+        for lang in synthesizer.languages
+    }
 
 
 def build_interface(synthesizer: Synthesizer):
     import gradio as gr
 
+    choices = language_choices(synthesizer)
+
     def run(text, language_label, target_audio):
-        lang = TTS_LANGUAGES.get(language_label, "vie")
+        lang = choices.get(language_label, "vie")
         tts_path, vc_path = synthesizer.synthesis(
             text, language=lang, target_filepath=target_audio
         )
@@ -36,14 +48,14 @@ def build_interface(synthesizer: Synthesizer):
         fn=run,
         inputs=[
             gr.Textbox(label="Text"),
-            gr.Dropdown(sorted(TTS_LANGUAGES), value="Vietnamese (vie)", label="Language"),
+            gr.Dropdown(sorted(choices), value="Vietnamese (vie)", label="Language"),
             gr.Audio(type="filepath", label="Target speaker (optional, voice conversion)"),
         ],
         outputs=[
             gr.Audio(type="filepath", label="Synthesized"),
             gr.Audio(type="filepath", label="Voice converted"),
         ],
-        examples=[[t, l, None] for t, l in TTS_EXAMPLES],
+        examples=[[t, l, None] for t, l in TTS_EXAMPLES if l in choices],
         title="e2e-tts-tpu",
         description="TPU-native Vietnamese text-to-speech",
     )

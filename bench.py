@@ -11,12 +11,14 @@ either direction; the bench therefore injects a production-realistic 6
 frames/phoneme (+/- deterministic jitter) through the same compiled
 programs — duration values change gather indices only, not FLOPs.
 
-A second, secondary measurement times ``engine.synthesize`` VERBATIM — the
-exact user-facing path (g2p, duration sync, fused dispatch with overflow
-fallback, host stitch) with the model's own predicted durations — and rides
-along in the same JSON line as ``serve_synthesize_rtf`` (random-init
-durations make its audio-seconds denominator unrepresentative, hence
-secondary; the injected-duration number is the honest headline).
+A second measurement times ``engine.synthesize`` VERBATIM — the exact
+user-facing path (g2p, duration sync, fused dispatch with overflow fallback,
+pipelined drain, host stitch).  So the audio-seconds denominator is
+production-realistic rather than the degenerate <1 frame/phoneme a
+random-init duration head predicts, the head's final bias is set to log(7)
+(duration = round(exp(x) - 1), variance.py) and its kernel scaled to 0.3 —
+the engine then *predicts* ~6 +/- 2 frames/phoneme through its own code
+path; nothing else is touched.  Reported as ``serve_synthesize_rtf``.
 
 Prints ONE JSON line:
   {"metric": "batched_synthesis_rtf_per_chip", "value": <rtf>,
@@ -158,8 +160,12 @@ def main():
 
     rtf = elapsed / total_audio_s
 
-    # secondary: the user-facing synthesize() path verbatim (real predicted
-    # durations, overflow handling, chunk stitch; no silence padding)
+    # the user-facing synthesize() path verbatim, with the duration head
+    # biased to predict realistic ~6 frames/phoneme (see module docstring)
+    params = engine.acoustic_params["params"]
+    head = params["variance_adaptor"]["duration_predictor"]["stack"]["linear"]
+    head["bias"] = jnp.full_like(head["bias"], float(np.log(7.0)))
+    head["kernel"] = head["kernel"] * 0.3
     engine.synthesize(SENTENCES, silence_distance=0.0)  # warmup/compile
     t1 = time.perf_counter()
     serve_audio_s = 0.0

@@ -88,3 +88,77 @@ def audio_speed_change(
     audio, sr = read_wav(input_path)
     write_wav(output_path, change_speed_array(audio, speed_rate, sr), sr)
     return output_path
+
+
+def export_audio(
+    audio: np.ndarray,
+    path: str,
+    sample_rate: int = 22050,
+    audio_format: Optional[str] = None,
+) -> str:
+    """Write int16/float audio to ``path`` in wav or a compressed format.
+
+    wav is native; m4a (AAC, the reference's "ipod" codec via pydub,
+    reference src/api/utils.py:175-188), mp3 and ogg transcode through an
+    ffmpeg binary when one is present.  Without ffmpeg, non-wav formats
+    raise — no silent format substitution."""
+    fmt = (audio_format or path.split(".")[-1]).lower()
+    if fmt == "wav":
+        write_wav(path, audio, sample_rate)
+        return path
+    ffmpeg = shutil.which("ffmpeg")
+    if not ffmpeg:
+        raise RuntimeError(
+            f"exporting {fmt!r} requires an ffmpeg binary (wav is native)"
+        )
+    tmp = path + ".tmp.wav"
+    write_wav(tmp, audio, sample_rate)
+    try:
+        codec = ["-c:a", "aac", "-strict", "-2"] if fmt == "m4a" else []
+        subprocess.run(
+            [ffmpeg, "-i", tmp, *codec, "-y", path],
+            check=True, capture_output=True,
+        )
+    finally:
+        import os
+
+        os.unlink(tmp)
+    return path
+
+
+def save_wav(
+    datas: np.ndarray,
+    rate: int = 22050,
+    speed: float = 1.0,
+    audio_format: str = "wav",
+    path_audio: Optional[str] = None,
+    return_binary: int = 0,
+    storage=None,
+):
+    """Reference surface ``save_wav`` (src/api/utils.py:175-188): export the
+    waveform, apply speed change, and upload via the storage backend (or
+    return the local path with ``return_binary=1``).  Timestamps name the
+    file exactly like the reference."""
+    import os
+    import time
+    from datetime import datetime
+
+    if path_audio is None:
+        stamp = datetime.today().strftime("%Y_%m_%d_%H_%M_%S")
+        path_audio = os.path.join(
+            "audio_generated", f"audio_{stamp}_{time.time()}.{audio_format}"
+        )
+    os.makedirs(os.path.dirname(path_audio) or ".", exist_ok=True)
+    export_audio(datas, path_audio, sample_rate=rate, audio_format=audio_format)
+    final_path = (
+        audio_speed_change(input_path=path_audio, speed_rate=speed)
+        if speed != 1.0
+        else path_audio
+    )
+    if return_binary:
+        return final_path
+    if storage is None:
+        from ..utils.storage import default_storage
+
+        storage = default_storage()
+    return storage.upload(final_path)

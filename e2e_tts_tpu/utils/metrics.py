@@ -67,10 +67,51 @@ class MosnetScorer:
         return float(np.mean(out["mosnet"]))
 
 
+class LearnedMosScorer:
+    """In-framework learned degradation metric (models/mos.py): a conv
+    regressor trained on calibrated corruptions of clean speech, scored on
+    MOSNet's [1, 5] scale.  Ranks cleaner audio higher; NOT a human-MOS
+    estimate (see models/mos.py honesty note).  Weights ship in
+    assets/mos/mos.msgpack (tools/train_mos.py)."""
+
+    def __init__(self, asset_dir: str = None):
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from ..models.mos import MOS_WINDOW, MosPredictor
+
+        if asset_dir is None:
+            repo = os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            )
+            asset_dir = os.path.join(repo, "assets", "mos")
+        path = os.path.join(asset_dir, "mos.msgpack")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        model = MosPredictor()
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, MOS_WINDOW, 80))
+        )
+        with open(path, "rb") as f:
+            self._params = serialization.from_bytes(template, f.read())
+
+    def __call__(self, audio: np.ndarray, sample_rate: int) -> float:
+        from ..models.mos import score_audio
+
+        return score_audio(self._params, audio, sample_rate)
+
+
 def make_scorer() -> Callable[[np.ndarray, int], float]:
+    """Best available scorer: MOSNet (reference parity) > learned
+    degradation metric (in-framework) > DSP health proxy."""
     try:
         return MosnetScorer()
     except ImportError:
+        pass
+    try:
+        return LearnedMosScorer()
+    except (FileNotFoundError, ImportError):
         return DspProxyScorer()
 
 

@@ -200,3 +200,38 @@ def test_speed_change_array():
     assert 0.4 * len(x) < len(fast) < 0.62 * len(x)
     slow = change_speed_array(x, 0.5, sr)
     assert 1.8 * len(x) < len(slow) < 2.2 * len(x)
+
+
+def test_export_audio_wav_and_m4a(tmp_path):
+    import shutil as _shutil
+
+    from e2e_tts_tpu.serve.audio_post import export_audio
+
+    x = (np.random.RandomState(0).randn(4096) * 3000).astype(np.int16)
+    p = export_audio(x, str(tmp_path / "a.wav"), 22050)
+    assert np.fromfile(p, dtype=np.int16)[22:].shape[0] >= 4096
+    if _shutil.which("ffmpeg"):
+        p2 = export_audio(x, str(tmp_path / "a.m4a"), 22050)
+        assert (tmp_path / "a.m4a").stat().st_size > 0 and p2.endswith(".m4a")
+    else:
+        with pytest.raises(RuntimeError):
+            export_audio(x, str(tmp_path / "a.m4a"), 22050)
+
+
+def test_save_wav_reference_surface(tmp_path):
+    from e2e_tts_tpu.serve.audio_post import save_wav
+    from e2e_tts_tpu.utils.storage import LocalStorage
+
+    x = (np.random.RandomState(0).randn(2048) * 3000).astype(np.int16)
+    # return_binary=1 -> local path, reference naming scheme
+    path = save_wav(
+        x, path_audio=str(tmp_path / "out.wav"), return_binary=1
+    )
+    assert path.endswith("out.wav")
+    # storage upload path (reference default_storage.upload role)
+    url = save_wav(
+        x,
+        path_audio=str(tmp_path / "up.wav"),
+        storage=LocalStorage(root=str(tmp_path / "media")),
+    )
+    assert "up.wav" in url
