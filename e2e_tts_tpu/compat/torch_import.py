@@ -70,6 +70,78 @@ def convert_fft_layer(sd, prefix):
     }
 
 
+def _pointwise_conv(sd, name):
+    """Reference PointwiseConv1d (k=1 Conv1d wrapper, conformer.py:494-528)
+    -> flax Dense."""
+    w = sd[f"{name}.conv.weight"][:, :, 0].T  # (out, in, 1) -> (in, out)
+    out = {"kernel": w}
+    if f"{name}.conv.bias" in sd:
+        out["bias"] = sd[f"{name}.conv.bias"]
+    return out
+
+
+def _conformer_ffn(sd, p):
+    """Reference FeedForwardModule (conformer.py:273-305): Sequential
+    LN(0) Linear(1) Swish Dropout Linear(4) Dropout."""
+    return {
+        "LayerNorm_0": _ln_flat(sd, f"{p}.sequential.0"),
+        "Dense_0": _lin(sd, f"{p}.sequential.1.linear"),
+        "Dense_1": _lin(sd, f"{p}.sequential.4.linear"),
+    }
+
+
+def convert_conformer_block(sd, prefix, d_model):
+    """One reference ConformerBlock (conformer.py:171-256): Sequential of
+    residual-wrapped [FFN, MHSA, Conv, FFN] + final LN.  Returns
+    (params, batch_stats) — the conv module carries a BatchNorm."""
+    a = f"{prefix}.sequential.1.module"
+    c = f"{prefix}.sequential.2.module.sequential"
+    zeros = np.zeros((d_model,), np.float32)
+
+    def _proj(name, bias):
+        out = {"kernel": sd[f"{a}.attention.{name}.linear.weight"].T}
+        if bias:
+            # reference LinearNorm defaults to bias=False for q/k/v/out;
+            # our Dense has a bias param — zero reproduces the math
+            out["bias"] = zeros
+        return out
+
+    params = {
+        "ff1": _conformer_ffn(sd, f"{prefix}.sequential.0.module"),
+        "mhsa_norm": _ln_flat(sd, f"{a}.layer_norm"),
+        "mhsa": {
+            "query_proj": _proj("query_proj", True),
+            "key_proj": _proj("key_proj", True),
+            "value_proj": _proj("value_proj", True),
+            "pos_proj": _proj("pos_proj", False),
+            "out_proj": _proj("out_proj", True),
+            "u_bias": sd[f"{a}.attention.u_bias"],
+            "v_bias": sd[f"{a}.attention.v_bias"],
+        },
+        "conv": {
+            "LayerNorm_0": _ln_flat(sd, f"{c}.0"),
+            "pw1": _pointwise_conv(sd, f"{c}.2"),
+            "depthwise": {"kernel": sd[f"{c}.4.conv.weight"].transpose(2, 1, 0)},
+            "BatchNorm_0": {
+                "scale": sd[f"{c}.5.weight"],
+                "bias": sd[f"{c}.5.bias"],
+            },
+            "pw2": _pointwise_conv(sd, f"{c}.7"),
+        },
+        "ff2": _conformer_ffn(sd, f"{prefix}.sequential.3.module"),
+        "final_norm": _ln_flat(sd, f"{prefix}.sequential.4"),
+    }
+    batch_stats = {
+        "conv": {
+            "BatchNorm_0": {
+                "mean": sd[f"{c}.5.running_mean"],
+                "var": sd[f"{c}.5.running_var"],
+            }
+        }
+    }
+    return params, batch_stats
+
+
 def _predictor_stack(sd, prefix, n_layers):
     """Reference Duration/VariancePredictor conv stacks (layers.py:372-505);
     Sequential indices: 0=pad, 1=conv, 2=relu, 3=LN, 4=dropout."""
@@ -90,22 +162,51 @@ def convert_acoustic(
     ener_layers: int = 2,
     postnet_layers: int = 5,
     learn_alignment: bool = True,
+    block_type: str = "transformer",
 ) -> Dict:
-    """Reference FastSpeech2 (transformer blocks) -> flax variables dict."""
+    """Reference FastSpeech2 -> flax variables dict (transformer or
+    conformer building blocks; the variance/postnet trees are shared)."""
     sd = dict(sd)
     params: Dict = {}
+    batch_stats: Dict = {}
 
-    params["encoder"] = {
-        "src_word_emb": {"embedding": sd["encoder.src_word_emb.weight"]},
-        **{
-            f"layer_{i}": convert_fft_layer(sd, f"encoder.layer_stack.{i}")
-            for i in range(encoder_layers)
-        },
-    }
-    params["decoder"] = {
-        f"layer_{i}": convert_fft_layer(sd, f"decoder.layer_stack.{i}")
-        for i in range(decoder_layers)
-    }
+    if block_type == "transformer":
+        params["encoder"] = {
+            "src_word_emb": {"embedding": sd["encoder.src_word_emb.weight"]},
+            **{
+                f"layer_{i}": convert_fft_layer(sd, f"encoder.layer_stack.{i}")
+                for i in range(encoder_layers)
+            },
+        }
+        params["decoder"] = {
+            f"layer_{i}": convert_fft_layer(sd, f"decoder.layer_stack.{i}")
+            for i in range(decoder_layers)
+        }
+    elif block_type == "conformer":
+        d_model = sd["encoder.src_word_emb.weight"].shape[1]
+        enc = {"src_word_emb": {"embedding": sd["encoder.src_word_emb.weight"]}}
+        enc_bs: Dict = {}
+        for i in range(encoder_layers):
+            p, bs = convert_conformer_block(
+                sd, f"encoder.layer_stack.{i}", d_model
+            )
+            enc[f"layer_{i}"] = p
+            enc_bs[f"layer_{i}"] = bs
+        dec: Dict = {}
+        dec_bs: Dict = {}
+        for i in range(decoder_layers):
+            p, bs = convert_conformer_block(
+                sd, f"decoder.layer_stack.{i}", d_model
+            )
+            dec[f"layer_{i}"] = p
+            dec_bs[f"layer_{i}"] = bs
+        params["encoder"], params["decoder"] = enc, dec
+        batch_stats["encoder"], batch_stats["decoder"] = enc_bs, dec_bs
+    else:
+        raise ValueError(
+            f"no converter for block_type {block_type!r} "
+            "(transformer and conformer are supported)"
+        )
     params["mel_linear"] = _lin(sd, "mel_linear")
     params["speaker_emb"] = {"embedding": sd["speaker_emb.weight"]}
 
@@ -164,7 +265,7 @@ def convert_acoustic(
     params["variance_adaptor"] = va
 
     postnet: Dict = {}
-    batch_stats: Dict = {"postnet": {}}
+    batch_stats["postnet"] = {}
     for i in range(postnet_layers):
         p = f"postnet.convolutions.{i}"
         postnet[f"conv_{i}"] = _conv1d(sd, f"{p}.0.conv")

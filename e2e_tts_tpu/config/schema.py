@@ -125,6 +125,10 @@ class ConformerBlockConfig(_Base):
     half_step_residual: bool = True
     encoder_dropout: float = 0.1
     decoder_dropout: float = 0.1
+    # False reproduces the reference conformer exactly (its blocks never
+    # mask attention — conformer.py:215-256); required when migrating
+    # reference-trained conformer checkpoints.  True = proper key masking.
+    mask_attention: bool = True
 
 
 @dataclass(frozen=True)

@@ -115,6 +115,7 @@ def _conformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
         half_step_residual=b.half_step_residual,
         dropout=b.encoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        mask_attention=b.mask_attention,
         dtype=dtype,
         name="encoder",
     )
@@ -134,6 +135,7 @@ def _conformer_decoder(cfg: FastSpeech2Config, dtype):
         half_step_residual=b.half_step_residual,
         dropout=b.decoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        mask_attention=b.mask_attention,
         dtype=dtype,
         name="decoder",
     )

@@ -35,7 +35,7 @@ class RelativeMultiHeadAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos_emb, pair_mask, deterministic=True):
+    def __call__(self, x, pos_emb, key_mask, deterministic=True):
         B, T, _ = x.shape
         H, D = self.n_head, self.d_model // self.n_head
 
@@ -59,7 +59,8 @@ class RelativeMultiHeadAttention(nn.Module):
         pos = _relative_shift(pos)
         score = (content + pos) / np.sqrt(self.d_model)
 
-        score = jnp.where(pair_mask[:, None, :, :], score, NEG_INF)
+        if key_mask is not None:
+            score = jnp.where(key_mask[:, None, None, :], score, NEG_INF)
         attn = nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, -1)
@@ -118,12 +119,18 @@ class ConformerBlock(nn.Module):
     conv_expansion: int = 2
     half_step_residual: bool = True
     dropout: float = 0.1
+    # The reference conformer block NEVER masks attention: its Sequential
+    # container drops the mask before MultiHeadedSelfAttentionModule
+    # (reference conformer.py:215-256 — forward only zeroes block outputs),
+    # so padded keys join every softmax.  True (default) applies proper
+    # key-side masking; False reproduces the reference exactly, which
+    # migrating reference-trained conformer checkpoints requires.
+    mask_attention: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_emb, mask, deterministic=True):
         ff_factor = 0.5 if self.half_step_residual else 1.0
-        pair_mask = mask[:, :, None] & mask[:, None, :]
         train = not deterministic
 
         x = x + ff_factor * FeedForwardModule(
@@ -132,7 +139,7 @@ class ConformerBlock(nn.Module):
         attn_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mhsa_norm")(x)
         attn_out = RelativeMultiHeadAttention(
             self.d_model, self.n_head, self.dropout, self.dtype, name="mhsa"
-        )(attn_in, pos_emb, pair_mask, deterministic)
+        )(attn_in, pos_emb, mask if self.mask_attention else None, deterministic)
         x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
         x = x + ConvModule(
             self.d_model, self.conv_kernel, self.conv_expansion, self.dropout,
@@ -156,6 +163,7 @@ class ConformerEncoder(nn.Module):
     half_step_residual: bool = True
     dropout: float = 0.1
     max_seq_len: int = 1000
+    mask_attention: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -171,12 +179,18 @@ class ConformerEncoder(nn.Module):
         T = token_ids.shape[1]
         pos = jnp.asarray(sinusoid_table(max(T, 1), self.d_model), self.dtype)
         x = emb + pos[None, :T]
-        x = x * mask[..., None]
+        if self.mask_attention:
+            # proper mode: padded rows enter block 0 as zeros.  The
+            # reference does NOT pre-zero (conformer.py:69-90: block-0 input
+            # at padded rows is emb+pos, zeroed only at block END), so
+            # parity mode (mask_attention=False) skips this too.
+            x = x * mask[..., None]
         for i in range(self.n_layers):
             x = ConformerBlock(
                 self.d_model, self.n_head, self.ffn_expansion, self.conv_kernel,
                 self.conv_expansion, self.half_step_residual, self.dropout,
-                self.dtype, name=f"layer_{i}",
+                mask_attention=self.mask_attention, dtype=self.dtype,
+                name=f"layer_{i}",
             )(x, pos[None, :T], mask, deterministic)
         return x, emb
 
@@ -191,6 +205,7 @@ class ConformerDecoder(nn.Module):
     half_step_residual: bool = True
     dropout: float = 0.1
     max_seq_len: int = 1000
+    mask_attention: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -198,11 +213,13 @@ class ConformerDecoder(nn.Module):
         T = x.shape[1]
         pos = jnp.asarray(sinusoid_table(max(T, 1), self.d_model), self.dtype)
         x = x.astype(self.dtype) + pos[None, :T]
-        x = x * mask[..., None]
+        if self.mask_attention:
+            x = x * mask[..., None]  # see encoder note: reference skips this
         for i in range(self.n_layers):
             x = ConformerBlock(
                 self.d_model, self.n_head, self.ffn_expansion, self.conv_kernel,
                 self.conv_expansion, self.half_step_residual, self.dropout,
-                self.dtype, name=f"layer_{i}",
+                mask_attention=self.mask_attention, dtype=self.dtype,
+                name=f"layer_{i}",
             )(x, pos[None, :T], mask, deterministic)
         return x, mask

@@ -200,6 +200,91 @@ def test_supervised_acoustic_parity(ref_modules):
 
 
 @requires_reference
+def test_conformer_acoustic_parity(ref_modules):
+    """Conformer building blocks through the converter: the reference
+    conformer FS2 (blocks/conformer.py) and our ConformerEncoder/Decoder
+    (nn/conformer.py) produce matching mels from converted weights."""
+    ref_fs2, _ = ref_modules
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.compat import convert_acoustic
+    from e2e_tts_tpu.config import default_config
+    from e2e_tts_tpu.models import FastSpeech2
+    from e2e_tts_tpu.nn import FeatureStats
+    from e2e_tts_tpu.text import symbols
+
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    fs2_cfg = fs2.replace(
+        encoder_layers=2,
+        decoder_layers=2,
+        building_block=fs2.building_block.replace(
+            block_type="conformer",
+            # the reference conformer never masks attention (its Sequential
+            # drops the mask); parity requires reproducing that
+            conformer=fs2.building_block.conformer.replace(
+                mask_attention=False
+            ),
+        ),
+    )
+    stats = FeatureStats()
+
+    tmodel = ref_fs2.UnsupervisedFastSpeech2(
+        n_symbols=len(symbols),
+        n_speakers=3,
+        n_channels=80,
+        config=fs2_cfg.to_dict(),
+        stats=stats.to_dict(),
+        device=torch.device("cpu"),
+    ).eval()
+
+    B, L = 2, 15
+    rng = np.random.RandomState(7)
+    texts = rng.randint(4, len(symbols), (B, L)).astype(np.int64)
+    txt_lens = np.array([15, 10])
+    speakers = np.array([1, 2])
+
+    with torch.no_grad():
+        (t_mel, t_postnet, t_dur), t_mel_lens = tmodel.inference(
+            speaker=torch.from_numpy(speakers),
+            texts=torch.from_numpy(texts),
+            txt_lens=torch.from_numpy(txt_lens),
+            max_txt_len=L,
+        )
+    t_mel_lens = t_mel_lens.numpy()
+    T = int(t_mel_lens.max())
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_acoustic(
+        sd, encoder_layers=2, decoder_layers=2, block_type="conformer"
+    )
+
+    jmodel = FastSpeech2(
+        config=fs2_cfg,
+        n_symbols=len(symbols),
+        n_speakers=3,
+        n_mel_channels=80,
+        stats=stats,
+    )
+    out = jmodel.apply(
+        variables,
+        speakers=jnp.asarray(speakers, jnp.int32),
+        texts=jnp.asarray(texts, jnp.int32),
+        txt_lens=jnp.asarray(txt_lens, jnp.int32),
+        max_mel_len=T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["duration_rounded"])[0, :L], t_dur.numpy()[0, :L]
+    )
+    np.testing.assert_array_equal(np.asarray(out["mel_lens"]), t_mel_lens)
+    j_post = np.asarray(out["postnet_mel"])
+    for b in range(B):
+        n = int(t_mel_lens[b])
+        mae = np.abs(j_post[b, :n] - t_postnet.numpy()[b, :n]).mean()
+        assert mae < 1e-3, f"item {b}: conformer postnet MAE {mae}"
+
+
+@requires_reference
 def test_istft_generator_parity(ref_modules):
     """iSTFTNet generator: converted weights produce the same spec/phase
     and the inverse transform matches torch.istft end to end."""
