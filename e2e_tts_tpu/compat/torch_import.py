@@ -142,6 +142,58 @@ def convert_conformer_block(sd, prefix, d_model):
     return params, batch_stats
 
 
+def convert_fastformer_stack(sd, prefix, n_layers):
+    """Reference fastformer FFTBlock (fastformer.py:146-175): per layer a
+    PreNorm(FastAttention) + PreNorm(conv FFN); the q/k pooling logits are
+    weight-tied across layers (read once from layer 0)."""
+    stack = {
+        "to_q_attn_logits": _lin(sd, f"{prefix}.layers.0.0.fn.to_q_attn_logits"),
+        "to_k_attn_logits": _lin(sd, f"{prefix}.layers.0.0.fn.to_k_attn_logits"),
+    }
+    for i in range(n_layers):
+        a = f"{prefix}.layers.{i}.0"
+        f = f"{prefix}.layers.{i}.1"
+        stack[f"attn_norm_{i}"] = _ln_flat(sd, f"{a}.norm")
+        stack[f"ff_norm_{i}"] = _ln_flat(sd, f"{f}.norm")
+        stack[f"attn_{i}"] = {
+            "query": _lin(sd, f"{a}.fn.query"),
+            "key": _lin(sd, f"{a}.fn.key"),
+            "transform": _lin(sd, f"{a}.fn.transform"),
+        }
+        stack[f"ff_{i}"] = {
+            "w_1": _conv1d(sd, f"{f}.fn.w_1"),
+            "w_2": _conv1d(sd, f"{f}.fn.w_2"),
+        }
+    return {"stack": stack}
+
+
+def convert_lstransformer_stack(sd, prefix, n_layers):
+    """Reference long-short FFTBlock (lstransformer.py:150-180): per layer a
+    PreNorm(LongShortAttention) + PreNorm(conv FFN).  The rotary freqs
+    buffer (pos_emb.freqs) is deterministic and recomputed on our side."""
+    stack = {}
+    for i in range(n_layers):
+        a = f"{prefix}.layers.{i}.0"
+        f = f"{prefix}.layers.{i}.1"
+        stack[f"attn_norm_{i}"] = _ln_flat(sd, f"{a}.norm")
+        stack[f"ff_norm_{i}"] = _ln_flat(sd, f"{f}.norm")
+        stack[f"attn_{i}"] = {
+            "to_q": {"kernel": sd[f"{a}.fn.to_q.weight"].T},
+            "to_kv": {"kernel": sd[f"{a}.fn.to_kv.weight"].T},
+            "to_out": _lin(sd, f"{a}.fn.to_out"),
+            "to_dynamic_proj": {
+                "kernel": sd[f"{a}.fn.to_dynamic_proj.weight"].T
+            },
+            "local_norm": _ln_flat(sd, f"{a}.fn.local_norm"),
+            "global_norm": _ln_flat(sd, f"{a}.fn.global_norm"),
+        }
+        stack[f"ff_{i}"] = {
+            "w_1": _conv1d(sd, f"{f}.fn.w_1"),
+            "w_2": _conv1d(sd, f"{f}.fn.w_2"),
+        }
+    return {"stack": stack}
+
+
 def _predictor_stack(sd, prefix, n_layers):
     """Reference Duration/VariancePredictor conv stacks (layers.py:372-505);
     Sequential indices: 0=pad, 1=conv, 2=relu, 3=LN, 4=dropout."""
@@ -202,10 +254,34 @@ def convert_acoustic(
             dec_bs[f"layer_{i}"] = bs
         params["encoder"], params["decoder"] = enc, dec
         batch_stats["encoder"], batch_stats["decoder"] = enc_bs, dec_bs
+    elif block_type == "fastformer":
+        params["encoder"] = {
+            "src_word_emb": {"embedding": sd["encoder.src_word_emb.weight"]},
+            **convert_fastformer_stack(
+                sd, "encoder.layer_stack", encoder_layers
+            ),
+        }
+        params["decoder"] = convert_fastformer_stack(
+            sd, "decoder.layer_stack", decoder_layers
+        )
+    elif block_type == "lstransformer":
+        params["encoder"] = {
+            "src_word_emb": {"embedding": sd["encoder.src_word_emb.weight"]},
+            **convert_lstransformer_stack(
+                sd, "encoder.layer_stack", encoder_layers
+            ),
+        }
+        params["decoder"] = convert_lstransformer_stack(
+            sd, "decoder.layer_stack", decoder_layers
+        )
     else:
+        # reformer is deliberately unsupported: the reference's LSH
+        # attention draws fresh random rotation matrices per forward pass
+        # (reference blocks/reformer.py hash_vectors), so two frameworks
+        # cannot be made output-identical from shared weights.
         raise ValueError(
-            f"no converter for block_type {block_type!r} "
-            "(transformer and conformer are supported)"
+            f"no converter for block_type {block_type!r} (transformer, "
+            "conformer, fastformer and lstransformer are supported)"
         )
     params["mel_linear"] = _lin(sd, "mel_linear")
     params["speaker_emb"] = {"embedding": sd["speaker_emb.weight"]}

@@ -139,6 +139,13 @@ class FastformerBlockConfig(_Base):
     conv_kernel_size: Tuple[int, int] = (9, 1)
     encoder_dropout: float = 0.2
     decoder_dropout: float = 0.2
+    # True reproduces the reference fastformer exactly for checkpoint
+    # migration: its FastAttention inverts the head semantics (it runs
+    # hidden//encoder_head heads of size encoder_head — fastformer.py:
+    # 190-196), and its encoder/decoder never zero padded rows before
+    # block 0.  False (default) = the sane Wu et al. reading:
+    # encoder_head heads, padded input zeroed.
+    reference_compat: bool = False
 
 
 @dataclass(frozen=True)
@@ -151,6 +158,12 @@ class LSTransformerBlockConfig(_Base):
     decoder_dropout: float = 0.2
     window_size: int = 128
     r: int = 32
+    # True reproduces the reference lstransformer for checkpoint migration:
+    # r forced to 1 (its FFTBlock hardcodes the causal default,
+    # lstransformer.py:154-156), interleaved rotary pairs (the
+    # rotary-embedding-torch layout it imports), and no pre-zero of padded
+    # rows before block 0.
+    reference_compat: bool = False
 
 
 @dataclass(frozen=True)

@@ -151,11 +151,17 @@ def _fastformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
     from ..nn.fastformer import FastformerEncoder
 
     b = cfg.building_block.fastformer
+    n_head = (
+        cfg.encoder_hidden // b.encoder_head if b.reference_compat
+        else b.encoder_head
+    )
     return FastformerEncoder(
         n_symbols=n_symbols,
         n_layers=cfg.encoder_layers,
         d_model=cfg.encoder_hidden,
-        n_head=b.encoder_head,
+        n_head=n_head,
+        pre_zero=not b.reference_compat,
+        invert_mask=b.reference_compat,
         d_inner=b.conv_filter_size,
         kernel_sizes=tuple(b.conv_kernel_size),
         dropout=b.encoder_dropout,
@@ -169,10 +175,16 @@ def _fastformer_decoder(cfg: FastSpeech2Config, dtype):
     from ..nn.fastformer import FastformerDecoder
 
     b = cfg.building_block.fastformer
+    n_head = (
+        cfg.decoder_hidden // b.decoder_head if b.reference_compat
+        else b.decoder_head
+    )
     return FastformerDecoder(
         n_layers=cfg.decoder_layers,
         d_model=cfg.decoder_hidden,
-        n_head=b.decoder_head,
+        n_head=n_head,
+        pre_zero=not b.reference_compat,
+        invert_mask=b.reference_compat,
         d_inner=b.conv_filter_size,
         kernel_sizes=tuple(b.conv_kernel_size),
         dropout=b.decoder_dropout,
@@ -200,9 +212,12 @@ def _lst_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
         d_inner=b.conv_filter_size,
         kernel_sizes=tuple(b.conv_kernel_size),
         window_size=b.window_size,
-        r=b.r,
+        r=1 if b.reference_compat else b.r,
         dropout=b.encoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        pre_zero=not b.reference_compat,
+        rotary_interleaved=b.reference_compat,
+        invert_mask=b.reference_compat,
         dtype=dtype,
         name="encoder",
     )
@@ -219,9 +234,12 @@ def _lst_decoder(cfg: FastSpeech2Config, dtype):
         d_inner=b.conv_filter_size,
         kernel_sizes=tuple(b.conv_kernel_size),
         window_size=b.window_size,
-        r=b.r,
+        r=1 if b.reference_compat else b.r,
         dropout=b.decoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        pre_zero=not b.reference_compat,
+        rotary_interleaved=b.reference_compat,
+        invert_mask=b.reference_compat,
         dtype=dtype,
         name="decoder",
     )

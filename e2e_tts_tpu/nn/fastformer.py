@@ -25,6 +25,13 @@ class FastAttention(nn.Module):
     d_model: int
     n_head: int
     dropout: float = 0.2
+    # Reference mask-polarity bug parity: the reference computes the
+    # additive mask as -10000 * (1 - pad_mask) (fastformer.py:229-232),
+    # i.e. it penalizes VALID positions and leaves pads at 0 — a no-op for
+    # unpadded rows (constant shift) but it concentrates the pooling
+    # softmax on padding otherwise.  True reproduces that for checkpoint
+    # migration.
+    invert_mask: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -36,7 +43,8 @@ class FastAttention(nn.Module):
         mix_q = nn.Dense(self.d_model, dtype=self.dtype, name="query")(x)
         mix_k = nn.Dense(self.d_model, dtype=self.dtype, name="key")(x)
 
-        neg = (~mask).astype(self.dtype) * NEG_INF  # (B, T)
+        keep = ~mask if self.invert_mask else mask
+        neg = (~keep).astype(self.dtype) * NEG_INF  # (B, T)
 
         # global query: per-head softmax pooling over time
         q_score = q_logits_mod(mix_q) * scale + neg[..., None]  # (B, T, H)
@@ -79,6 +87,7 @@ class FastformerStack(nn.Module):
     d_inner: int
     kernel_sizes: Tuple[int, int] = (9, 1)
     dropout: float = 0.2
+    invert_mask: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -98,8 +107,8 @@ class FastformerStack(nn.Module):
             for i in range(self.n_layers)
         ]
         self.attns = [
-            FastAttention(self.d_model, self.n_head, self.dropout, self.dtype,
-                          name=f"attn_{i}")
+            FastAttention(self.d_model, self.n_head, self.dropout,
+                          self.invert_mask, self.dtype, name=f"attn_{i}")
             for i in range(self.n_layers)
         ]
         self.ffs = [
@@ -130,6 +139,12 @@ class FastformerEncoder(nn.Module):
     kernel_sizes: Tuple[int, int] = (9, 1)
     dropout: float = 0.2
     max_seq_len: int = 1000
+    # reference parity: the reference never zeroes padded rows before the
+    # first block (fastformer.py:50-67), so their emb+pos values leak into
+    # valid frames through the kernel-9 FFN convs; pre_zero=False
+    # reproduces that for checkpoint migration
+    pre_zero: bool = True
+    invert_mask: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -142,10 +157,13 @@ class FastformerEncoder(nn.Module):
         )(token_ids).astype(self.dtype)
         T = token_ids.shape[1]
         pos = jnp.asarray(sinusoid_table(max(T, 1), self.d_model), self.dtype)
-        x = (emb + pos[None, :T]) * mask[..., None]
+        x = emb + pos[None, :T]
+        if self.pre_zero:
+            x = x * mask[..., None]
         x = FastformerStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
-            self.kernel_sizes, self.dropout, self.dtype, name="stack",
+            self.kernel_sizes, self.dropout, self.invert_mask, self.dtype,
+            name="stack",
         )(x, mask, deterministic)
         return x, emb
 
@@ -158,15 +176,20 @@ class FastformerDecoder(nn.Module):
     kernel_sizes: Tuple[int, int] = (9, 1)
     dropout: float = 0.2
     max_seq_len: int = 1000
+    pre_zero: bool = True  # see FastformerEncoder note
+    invert_mask: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         T = x.shape[1]
         pos = jnp.asarray(sinusoid_table(max(T, 1), self.d_model), self.dtype)
-        x = (x.astype(self.dtype) + pos[None, :T]) * mask[..., None]
+        x = x.astype(self.dtype) + pos[None, :T]
+        if self.pre_zero:
+            x = x * mask[..., None]
         x = FastformerStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
-            self.kernel_sizes, self.dropout, self.dtype, name="stack",
+            self.kernel_sizes, self.dropout, self.invert_mask, self.dtype,
+            name="stack",
         )(x, mask, deterministic)
         return x, mask

@@ -22,19 +22,31 @@ from .common import Conv1d, sinusoid_table
 NEG_INF = -1e9
 
 
-def _rotary_freqs(T: int, d: int) -> np.ndarray:
+def _rotary_freqs(T: int, d: int, interleaved: bool = False) -> np.ndarray:
     inv = 1.0 / (10000 ** (np.arange(0, d, 2) / d))
     ang = np.arange(T)[:, None] * inv[None, :]
+    if interleaved:
+        # lucidrains rotary-embedding-torch layout: freqs repeated per
+        # adjacent channel pair [a0,a0,a1,a1,...] — what the reference
+        # imports (lstransformer.py:6)
+        return np.repeat(ang, 2, axis=-1).astype(np.float32)
     return np.concatenate([ang, ang], axis=-1).astype(np.float32)  # (T, d)
 
 
-def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+def _rotate_half(x: jnp.ndarray, interleaved: bool = False) -> jnp.ndarray:
+    if interleaved:
+        # pairs (x0, x1) -> (-x1, x0), interleaved back
+        pair = x.reshape(*x.shape[:-1], -1, 2)
+        rot = jnp.stack([-pair[..., 1], pair[..., 0]], axis=-1)
+        return rot.reshape(x.shape)
     x1, x2 = jnp.split(x, 2, axis=-1)
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def _apply_rotary(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
-    return x * jnp.cos(freqs) + _rotate_half(x) * jnp.sin(freqs)
+def _apply_rotary(
+    x: jnp.ndarray, freqs: jnp.ndarray, interleaved: bool = False
+) -> jnp.ndarray:
+    return x * jnp.cos(freqs) + _rotate_half(x, interleaved) * jnp.sin(freqs)
 
 
 class LongShortAttention(nn.Module):
@@ -45,6 +57,13 @@ class LongShortAttention(nn.Module):
     r: int = 1
     causal: bool = True
     dropout: float = 0.2
+    rotary_interleaved: bool = False  # True = reference library convention
+    # Reference mask-polarity bug parity: the reference passes its True=pad
+    # mask into lucidrains attention code that expects True=valid
+    # (lstransformer.py:171-174 vs 284-298), so attention KEEPS padded keys
+    # and masks valid ones (uniform local attention when nothing is
+    # padded).  True reproduces that for checkpoint migration.
+    invert_mask: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -61,6 +80,11 @@ class LongShortAttention(nn.Module):
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
             mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        if self.invert_mask:
+            # reference bug: keep = NOT valid, and never the multiple-pad
+            # tail (its pad_to_multiple extends the mask with "pad")
+            real = (jnp.arange(T) < T0)[None, :]
+            mask = real & ~mask
 
         q = nn.Dense(H * D, use_bias=False, dtype=self.dtype, name="to_q")(x)
         kv = nn.Dense(H * D, use_bias=False, dtype=self.dtype, name="to_kv")(x)
@@ -69,9 +93,11 @@ class LongShortAttention(nn.Module):
         fold = lambda t: t.reshape(B, T, H, D).transpose(0, 2, 1, 3).reshape(B * H, T, D)
         q, kv = fold(q), fold(kv)
 
-        freqs = jnp.asarray(_rotary_freqs(T, D), self.dtype)[None]
-        q = _apply_rotary(q, freqs)
-        kv = _apply_rotary(kv, freqs)
+        freqs = jnp.asarray(
+            _rotary_freqs(T, D, self.rotary_interleaved), self.dtype
+        )[None]
+        q = _apply_rotary(q, freqs, self.rotary_interleaved)
+        kv = _apply_rotary(kv, freqs, self.rotary_interleaved)
         q = q * (D**-0.5)
 
         n_win = T // w
@@ -170,6 +196,8 @@ class LSTransformerStack(nn.Module):
     segment_size: int = 16
     r: int = 1
     dropout: float = 0.2
+    rotary_interleaved: bool = False
+    invert_mask: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -178,7 +206,8 @@ class LSTransformerStack(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_norm_{i}")(x)
             x = x + LongShortAttention(
                 self.d_model, self.n_head, self.window_size, self.segment_size,
-                self.r, True, self.dropout, self.dtype, name=f"attn_{i}",
+                self.r, True, self.dropout, self.rotary_interleaved,
+                self.invert_mask, self.dtype, name=f"attn_{i}",
             )(h, mask, deterministic)
             x = x * mask[..., None]
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ff_norm_{i}")(x)
@@ -202,6 +231,11 @@ class LSTransformerEncoder(nn.Module):
     r: int = 1
     dropout: float = 0.2
     max_seq_len: int = 1000
+    # reference parity (lstransformer.py:50-70): no pre-zero of padded rows,
+    # interleaved rotary pairs (the imported rotary-embedding-torch layout)
+    pre_zero: bool = True
+    rotary_interleaved: bool = False
+    invert_mask: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -214,11 +248,14 @@ class LSTransformerEncoder(nn.Module):
         )(token_ids).astype(self.dtype)
         T = token_ids.shape[1]
         pos = jnp.asarray(sinusoid_table(max(T, 1), self.d_model), self.dtype)
-        x = (emb + pos[None, :T]) * mask[..., None]
+        x = emb + pos[None, :T]
+        if self.pre_zero:
+            x = x * mask[..., None]
         x = LSTransformerStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
             self.kernel_sizes, self.window_size, self.segment_size, self.r,
-            self.dropout, self.dtype, name="stack",
+            self.dropout, self.rotary_interleaved, self.invert_mask,
+            self.dtype, name="stack",
         )(x, mask, deterministic)
         return x, emb
 
@@ -234,16 +271,22 @@ class LSTransformerDecoder(nn.Module):
     r: int = 1
     dropout: float = 0.2
     max_seq_len: int = 1000
+    pre_zero: bool = True  # see LSTransformerEncoder note
+    rotary_interleaved: bool = False
+    invert_mask: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         T = x.shape[1]
         pos = jnp.asarray(sinusoid_table(max(T, 1), self.d_model), self.dtype)
-        x = (x.astype(self.dtype) + pos[None, :T]) * mask[..., None]
+        x = x.astype(self.dtype) + pos[None, :T]
+        if self.pre_zero:
+            x = x * mask[..., None]
         x = LSTransformerStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
             self.kernel_sizes, self.window_size, self.segment_size, self.r,
-            self.dropout, self.dtype, name="stack",
+            self.dropout, self.rotary_interleaved, self.invert_mask,
+            self.dtype, name="stack",
         )(x, mask, deterministic)
         return x, mask

@@ -33,6 +33,74 @@ def _stub_numba():
     sys.modules["numba"] = numba
 
 
+def _anchor_durations(tmodel, frames: float = 6.0):
+    """Pin the duration head to predict ~``frames`` per phoneme so parity
+    tests don't depend on what random weights round durations to (duration
+    = round(exp(x) - 1)); the converter copies the same weights, so both
+    sides stay identical."""
+    import math
+
+    dp = tmodel.variance_adaptor.duration_predictor
+    linear = getattr(dp, "linear", None) or dp.linear_layer
+    with torch.no_grad():
+        linear.weight.mul_(0.1)
+        linear.bias.fill_(math.log(frames + 1.0))
+
+
+def _stub_rotary():
+    """Faithful reimplementation of lucidrains' rotary-embedding-torch
+    (the package the reference lstransformer imports, absent from this
+    image): interleaved channel pairs, freqs repeated per pair."""
+    if "rotary_embedding_torch" in sys.modules:
+        return
+    import torch.nn as tnn
+    from einops import rearrange, repeat
+
+    mod = types.ModuleType("rotary_embedding_torch")
+
+    def rotate_half(x):
+        x = rearrange(x, "... (d r) -> ... d r", r=2)
+        x1, x2 = x.unbind(dim=-1)
+        x = torch.stack((-x2, x1), dim=-1)
+        return rearrange(x, "... d r -> ... (d r)")
+
+    def apply_rotary_emb(freqs, t, start_index=0):
+        rot_dim = freqs.shape[-1]
+        end = start_index + rot_dim
+        t_left = t[..., :start_index]
+        t_mid = t[..., start_index:end]
+        t_right = t[..., end:]
+        t_mid = (t_mid * freqs.cos()) + (rotate_half(t_mid) * freqs.sin())
+        return torch.cat((t_left, t_mid, t_right), dim=-1)
+
+    class RotaryEmbedding(tnn.Module):
+        def __init__(self, dim, theta=10000):
+            super().__init__()
+            freqs = 1.0 / (
+                theta ** (torch.arange(0, dim, 2)[: dim // 2].float() / dim)
+            )
+            self.register_buffer("freqs", freqs)
+            self.cache = {}
+
+        def forward(self, t, cache_key=None):
+            if cache_key is not None and cache_key in self.cache:
+                return self.cache[cache_key]
+            if callable(t):
+                t = t()
+            freqs = torch.einsum(
+                "..., f -> ... f", t.type(self.freqs.dtype), self.freqs
+            )
+            freqs = repeat(freqs, "... n -> ... (n r)", r=2)
+            if cache_key is not None:
+                self.cache[cache_key] = freqs
+            return freqs
+
+    mod.RotaryEmbedding = RotaryEmbedding
+    mod.apply_rotary_emb = apply_rotary_emb
+    mod.rotate_half = rotate_half
+    sys.modules["rotary_embedding_torch"] = mod
+
+
 @pytest.fixture(scope="module")
 def ref_modules():
     _stub_numba()
@@ -201,6 +269,7 @@ def test_supervised_acoustic_parity(ref_modules):
 
 @requires_reference
 def test_conformer_acoustic_parity(ref_modules):
+    torch.manual_seed(102)  # order-independent weights
     """Conformer building blocks through the converter: the reference
     conformer FS2 (blocks/conformer.py) and our ConformerEncoder/Decoder
     (nn/conformer.py) produce matching mels from converted weights."""
@@ -237,6 +306,7 @@ def test_conformer_acoustic_parity(ref_modules):
         stats=stats.to_dict(),
         device=torch.device("cpu"),
     ).eval()
+    _anchor_durations(tmodel)
 
     B, L = 2, 15
     rng = np.random.RandomState(7)
@@ -282,6 +352,177 @@ def test_conformer_acoustic_parity(ref_modules):
         n = int(t_mel_lens[b])
         mae = np.abs(j_post[b, :n] - t_postnet.numpy()[b, :n]).mean()
         assert mae < 1e-3, f"item {b}: conformer postnet MAE {mae}"
+
+
+@requires_reference
+def test_fastformer_acoustic_parity(ref_modules):
+    torch.manual_seed(103)  # order-independent weights
+    """Fastformer building blocks through the converter.  Runs in
+    reference_compat mode: the reference FastAttention inverts head
+    semantics (hidden//encoder_head heads of size encoder_head) and never
+    zeroes padded rows before block 0 — both reproduced behind the flag."""
+    ref_fs2, _ = ref_modules
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.compat import convert_acoustic
+    from e2e_tts_tpu.config import default_config
+    from e2e_tts_tpu.models import FastSpeech2
+    from e2e_tts_tpu.nn import FeatureStats
+    from e2e_tts_tpu.text import symbols
+
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    fs2_cfg = fs2.replace(
+        encoder_layers=2,
+        decoder_layers=2,
+        building_block=fs2.building_block.replace(
+            block_type="fastformer",
+            fastformer=fs2.building_block.fastformer.replace(
+                reference_compat=True
+            ),
+        ),
+    )
+    stats = FeatureStats()
+
+    tmodel = ref_fs2.UnsupervisedFastSpeech2(
+        n_symbols=len(symbols),
+        n_speakers=3,
+        n_channels=80,
+        config=fs2_cfg.to_dict(),
+        stats=stats.to_dict(),
+        device=torch.device("cpu"),
+    ).eval()
+    _anchor_durations(tmodel)
+
+    B, L = 2, 14
+    rng = np.random.RandomState(11)
+    texts = rng.randint(4, len(symbols), (B, L)).astype(np.int64)
+    txt_lens = np.array([14, 9])
+    speakers = np.array([0, 2])
+
+    with torch.no_grad():
+        (t_mel, t_postnet, t_dur), t_mel_lens = tmodel.inference(
+            speaker=torch.from_numpy(speakers),
+            texts=torch.from_numpy(texts),
+            txt_lens=torch.from_numpy(txt_lens),
+            max_txt_len=L,
+        )
+    t_mel_lens = t_mel_lens.numpy()
+    T = int(t_mel_lens.max())
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_acoustic(
+        sd, encoder_layers=2, decoder_layers=2, block_type="fastformer"
+    )
+
+    jmodel = FastSpeech2(
+        config=fs2_cfg,
+        n_symbols=len(symbols),
+        n_speakers=3,
+        n_mel_channels=80,
+        stats=stats,
+    )
+    out = jmodel.apply(
+        variables,
+        speakers=jnp.asarray(speakers, jnp.int32),
+        texts=jnp.asarray(texts, jnp.int32),
+        txt_lens=jnp.asarray(txt_lens, jnp.int32),
+        max_mel_len=T,
+    )
+    np.testing.assert_array_equal(np.asarray(out["mel_lens"]), t_mel_lens)
+    assert t_mel_lens.max() > 0
+    j_post = np.asarray(out["postnet_mel"])
+    for b in range(B):
+        n = int(t_mel_lens[b])
+        if n == 0:  # random weights may predict zero frames for a row
+            continue
+        mae = np.abs(j_post[b, :n] - t_postnet.numpy()[b, :n]).mean()
+        assert mae < 1e-3, f"item {b}: fastformer postnet MAE {mae}"
+
+
+@requires_reference
+def test_lstransformer_acoustic_parity(ref_modules):
+    torch.manual_seed(104)  # order-independent weights
+    """Long-short transformer blocks through the converter, in
+    reference_compat mode (r=1, interleaved rotary, no input pre-zero)."""
+    ref_fs2, _ = ref_modules
+    _stub_rotary()
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.compat import convert_acoustic
+    from e2e_tts_tpu.config import default_config
+    from e2e_tts_tpu.models import FastSpeech2
+    from e2e_tts_tpu.nn import FeatureStats
+    from e2e_tts_tpu.text import symbols
+
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    fs2_cfg = fs2.replace(
+        encoder_layers=2,
+        decoder_layers=2,
+        building_block=fs2.building_block.replace(
+            block_type="lstransformer",
+            lstransformer=fs2.building_block.lstransformer.replace(
+                reference_compat=True
+            ),
+        ),
+    )
+    stats = FeatureStats()
+
+    tmodel = ref_fs2.UnsupervisedFastSpeech2(
+        n_symbols=len(symbols),
+        n_speakers=3,
+        n_channels=80,
+        config=fs2_cfg.to_dict(),
+        stats=stats.to_dict(),
+        device=torch.device("cpu"),
+    ).eval()
+    _anchor_durations(tmodel)
+
+    B, L = 2, 19
+    rng = np.random.RandomState(5)
+    texts = rng.randint(4, len(symbols), (B, L)).astype(np.int64)
+    txt_lens = np.array([19, 12])
+    speakers = np.array([2, 0])
+
+    with torch.no_grad():
+        (t_mel, t_postnet, t_dur), t_mel_lens = tmodel.inference(
+            speaker=torch.from_numpy(speakers),
+            texts=torch.from_numpy(texts),
+            txt_lens=torch.from_numpy(txt_lens),
+            max_txt_len=L,
+        )
+    t_mel_lens = t_mel_lens.numpy()
+    T = int(t_mel_lens.max())
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_acoustic(
+        sd, encoder_layers=2, decoder_layers=2, block_type="lstransformer"
+    )
+
+    jmodel = FastSpeech2(
+        config=fs2_cfg,
+        n_symbols=len(symbols),
+        n_speakers=3,
+        n_mel_channels=80,
+        stats=stats,
+    )
+    out = jmodel.apply(
+        variables,
+        speakers=jnp.asarray(speakers, jnp.int32),
+        texts=jnp.asarray(texts, jnp.int32),
+        txt_lens=jnp.asarray(txt_lens, jnp.int32),
+        max_mel_len=T,
+    )
+    np.testing.assert_array_equal(np.asarray(out["mel_lens"]), t_mel_lens)
+    assert t_mel_lens.max() > 0
+    j_post = np.asarray(out["postnet_mel"])
+    for b in range(B):
+        n = int(t_mel_lens[b])
+        if n == 0:
+            continue
+        mae = np.abs(j_post[b, :n] - t_postnet.numpy()[b, :n]).mean()
+        assert mae < 1e-3, f"item {b}: lstransformer postnet MAE {mae}"
 
 
 @requires_reference
