@@ -91,20 +91,22 @@ def _fused_with_durations(engine, L, T):
     return _PROGRAMS[key]
 
 
-def synth_batch(engine, seqs, rng):
-    """One serving pass over pre-tokenized sequences with injected realistic
-    durations; returns (stitched waveform, mel frame total)."""
+def dispatch_batches(engine, seqs, rng):
+    """Dispatch one serving pass over pre-tokenized sequences with injected
+    realistic durations; returns [(batch_idx, device audio, device lens)]
+    without fetching — XLA execution is async, so the caller can overlap the
+    next dispatch with this pass's D2H transfers (the tunnel bottleneck),
+    exactly like the production engine's pipelined drain (engine.py)."""
     import jax.numpy as jnp
 
     from e2e_tts_tpu.serve.engine import TEXT_BUCKETS, _bucket_for, _mel_bucket
 
     B = engine.batch_size
-    results = [None] * len(seqs)
     groups = {}
     for i, s in enumerate(seqs):
         groups.setdefault(_bucket_for(len(s), TEXT_BUCKETS), []).append(i)
 
-    total_frames = 0
+    out = []
     for L, idxs in groups.items():
         for off in range(0, len(idxs), B):
             batch_idx = idxs[off : off + B]
@@ -126,15 +128,27 @@ def synth_batch(engine, seqs, rng):
                 engine.acoustic_params, engine._voc_params,
                 spk, texts, lens, jnp.asarray(durs),
             )
-            audio_np = np.asarray(audio)
-            mel_np = np.asarray(mel_lens)
-            for row, i in enumerate(batch_idx):
-                n = int(mel_np[row])
-                results[i] = audio_np[row, : n * engine.hop_length]
-                total_frames += n
-    # stitch (host) like production serving
+            out.append((batch_idx, audio, mel_lens))
+    return out
+
+
+def drain_batches(engine, n_seqs, dispatched):
+    """Fetch + trim + stitch (host) like production serving."""
+    results = [None] * n_seqs
+    total_frames = 0
+    for batch_idx, audio, mel_lens in dispatched:
+        audio_np = np.asarray(audio)
+        mel_np = np.asarray(mel_lens)
+        for row, i in enumerate(batch_idx):
+            n = int(mel_np[row])
+            results[i] = audio_np[row, : n * engine.hop_length]
+            total_frames += n
     out = np.concatenate([r for r in results if r is not None])
     return out, total_frames
+
+
+def synth_batch(engine, seqs, rng):
+    return drain_batches(engine, len(seqs), dispatch_batches(engine, seqs, rng))
 
 
 def main():
@@ -150,11 +164,19 @@ def main():
     # warmup / compile
     synth_batch(engine, seqs, rng)
 
+    # throughput loop, depth-2 pipeline: iteration k+1's compute overlaps
+    # iteration k's device->host transfers (the tunnel is the bottleneck)
     n_iters = 8
     t0 = time.perf_counter()
     total_audio_s = 0.0
+    pending = []
     for _ in range(n_iters):
-        _, frames = synth_batch(engine, seqs, rng)
+        pending.append(dispatch_batches(engine, seqs, rng))
+        if len(pending) > 2:
+            _, frames = drain_batches(engine, len(seqs), pending.pop(0))
+            total_audio_s += frames * engine.hop_length / engine.sample_rate
+    while pending:
+        _, frames = drain_batches(engine, len(seqs), pending.pop(0))
         total_audio_s += frames * engine.hop_length / engine.sample_rate
     elapsed = time.perf_counter() - t0
 
