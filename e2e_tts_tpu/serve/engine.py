@@ -74,6 +74,7 @@ class SynthesisEngine:
         use_folded_vocoder: Optional[bool] = None,
         language: str = "vie",
         serving_devices: Optional[int] = None,
+        use_flash: Optional[bool] = None,
     ):
         from ..utils.compilation_cache import enable_persistent_cache
 
@@ -123,8 +124,13 @@ class SynthesisEngine:
             n_symbols = len(symbols)
             self._to_sequence = lambda c: text_to_sequence(c, self.foreign_dict)
 
-        # Pallas flash attention for the decoder on real TPUs
-        use_flash = jax.default_backend() == "tpu"
+        # Pallas flash attention is OFF by default: measured on v5e at the
+        # decoder's serving shapes (B=16, 2 heads, D=128), XLA's fused
+        # attention beats the hand kernel at every length — 0.89x at T=256
+        # down to 0.41x at T=1024 (tools/bench_flash.py).  The kernel stays
+        # available for shapes where it wins; pass use_flash=True to opt in.
+        if use_flash is None:
+            use_flash = False
         self.acoustic = FastSpeech2(
             config=config.models.fastspeech2,
             n_symbols=n_symbols,
