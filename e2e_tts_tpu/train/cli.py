@@ -218,7 +218,10 @@ def cmd_acoustic(args):
                 )
                 rng, sub = jax.random.split(rng)
                 state, metrics = train_step(state, batch, sub)
-                step = int(state.step)
+                # host-side step counter: int(state.step) would block on the
+                # device every iteration and kill dispatch pipelining; the
+                # host only syncs when it actually reads metrics below
+                step += 1
                 if step % config.train.log_step == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     logger.log(step, m, lr=float(schedule(step)))
@@ -316,7 +319,7 @@ def cmd_vocoder(args):
                     lambda x: jax.device_put(jnp.asarray(x), data_sh), batch
                 )
                 state, metrics = step_fn(state, batch)
-                step = int(state.step)
+                step += 1  # host counter; see acoustic loop note
                 if step % config.train.log_step == 0:
                     for k, v in metrics.items():
                         writer.scalar(f"vocoder/{k}", float(v), step)
@@ -438,7 +441,7 @@ def cmd_e2e(args):
                 )
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, eb, sub)
-                step = int(state.step)
+                step += 1  # host counter; see acoustic loop note
                 if step % config.train.log_step == 0:
                     logger.log(step, {k: float(v) for k, v in metrics.items()})
                     print(
