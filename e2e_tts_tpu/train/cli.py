@@ -230,7 +230,7 @@ def cmd_acoustic(args):
                         f"mel={m['mel']:.4f} ({time.time() - t0:.0f}s)"
                     )
                 if step % args.ckpt_every == 0:
-                    ckpt.save(step, jax.device_get(state))
+                    ckpt.save(step, state)  # sharded arrays save per-shard
                     if valid_entries:
                         vm = run_validation(state, step)
                         logger.log(step, vm)
@@ -241,7 +241,7 @@ def cmd_acoustic(args):
                 if step >= args.steps:
                     break
             epoch += 1
-    ckpt.save(step, jax.device_get(state), wait=True)
+    ckpt.save(step, state, wait=True)
     print(f"[acoustic] done at step {step}")
 
 
@@ -328,11 +328,11 @@ def cmd_vocoder(args):
                         f"d={float(metrics['d_total']):.3f} ({time.time() - t0:.0f}s)"
                     )
                 if step % args.ckpt_every == 0:
-                    ckpt.save(step, jax.device_get(state))
+                    ckpt.save(step, state)  # sharded arrays save per-shard
                 if step >= args.steps:
                     break
             epoch += 1
-    ckpt.save(step, jax.device_get(state), wait=True)
+    ckpt.save(step, state, wait=True)
     print(f"[vocoder] done at step {step}")
 
 
@@ -449,11 +449,11 @@ def cmd_e2e(args):
                         f"d={float(metrics['discriminator']):.3f} ({time.time() - t0:.0f}s)"
                     )
                 if step % args.ckpt_every == 0:
-                    ckpt.save(step, jax.device_get(state))
+                    ckpt.save(step, state)  # sharded arrays save per-shard
                 if step >= args.steps:
                     break
             epoch += 1
-    ckpt.save(step, jax.device_get(state), wait=True)
+    ckpt.save(step, state, wait=True)
     print(f"[e2e] done at step {step}")
 
 

@@ -208,3 +208,40 @@ def test_measure_rtf():
     rep = measure_rtf(fake_synthesize, warmup=0, runs=3)
     assert rep.audio_s == 3.0
     assert rep.rtf > 0
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Sharded arrays checkpoint per-shard and restore directly onto the
+    mesh (no host gather): save a TP-sharded pytree from the virtual
+    8-device mesh, restore via restore_sharded, check placement + values."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from e2e_tts_tpu.train.checkpoint import CheckpointManager
+
+    devs = np.array(jax.local_devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    shard_model = NamedSharding(mesh, P(None, "model"))
+    repl = NamedSharding(mesh, P())
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "w": jax.device_put(
+            jnp.asarray(rng.randn(16, 8), jnp.float32), shard_model
+        ),
+        "b": jax.device_put(jnp.asarray(rng.randn(8), jnp.float32), repl),
+        "step": jax.device_put(jnp.asarray(7, jnp.int32), repl),
+    }
+    shardings = {"w": shard_model, "b": repl, "step": repl}
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(7, tree, wait=True)
+    assert ckpt.latest_step() == 7
+
+    template = jax.tree_util.tree_map(np.asarray, tree)  # host template
+    restored = ckpt.restore_sharded(template, shardings)
+    assert restored["w"].sharding == shard_model
+    assert restored["b"].sharding.is_equivalent_to(repl, ndim=1)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), template["w"])
+    np.testing.assert_array_equal(np.asarray(restored["b"]), template["b"])
+    assert int(restored["step"]) == 7
+    ckpt.close()
