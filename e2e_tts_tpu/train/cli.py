@@ -231,6 +231,7 @@ def cmd_acoustic(args):
                     )
                 if step % args.ckpt_every == 0:
                     ckpt.save(step, state)  # sharded arrays save per-shard
+                    logger.log_params(step, jax.device_get(state.params))
                     if valid_entries:
                         vm = run_validation(state, step)
                         logger.log(step, vm)

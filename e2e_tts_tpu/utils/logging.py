@@ -44,6 +44,23 @@ class ScalarWriter:
         if self._tb is not None:
             self._tb.add_audio(tag, audio[None, :], step, sample_rate=sample_rate)
 
+    def histogram(self, tag: str, values: np.ndarray, step: int):
+        """Parameter histogram (reference logger.py:70-76 logs per-param
+        histograms each acoustic step); JSONL fallback records summary
+        stats instead of the full TB histogram proto."""
+        values = np.asarray(values).reshape(-1)
+        if self._tb is not None:
+            self._tb.add_histogram(tag, values, step)
+        else:
+            self._jsonl.write(
+                json.dumps({
+                    "tag": tag, "step": int(step), "kind": "histogram",
+                    "mean": float(values.mean()), "std": float(values.std()),
+                    "min": float(values.min()), "max": float(values.max()),
+                    "n": int(values.size), "ts": time.time(),
+                }) + "\n"
+            )
+
     def figure_mel(self, tag: str, mel: np.ndarray, step: int):
         """Mel heatmap dump (reference log/utils.py:8-25 plot_mel)."""
         if self._tb is None:
@@ -88,6 +105,18 @@ class AcousticLogger:
 
     def log_audio(self, step: int, tag: str, audio, sample_rate: int = 22050):
         self.writer.audio(f"acoustic/{tag}", np.asarray(audio), step, sample_rate)
+
+    def log_params(self, step: int, params):
+        """Per-parameter histograms (reference logger.py:70-76); call on
+        checkpoint steps — per-step histograms are a reference excess."""
+        import jax
+
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        for path, leaf in flat:
+            name = "/".join(
+                getattr(p, "key", getattr(p, "name", str(p))) for p in path
+            )
+            self.writer.histogram(f"acoustic/params/{name}", np.asarray(leaf), step)
 
 
 class E2ELogger:

@@ -245,3 +245,33 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["b"]), template["b"])
     assert int(restored["step"]) == 7
     ckpt.close()
+
+
+def test_param_histogram_logging(tmp_path):
+    """AcousticLogger.log_params writes per-parameter histogram records
+    (reference logger.py:70-76 parity)."""
+    import json as _json
+
+    from e2e_tts_tpu.utils.logging import AcousticLogger
+
+    logger = AcousticLogger(str(tmp_path / "logs"))
+    params = {
+        "encoder": {"w": np.ones((4, 4), np.float32)},
+        "bias": np.zeros(3, np.float32),
+    }
+    logger.log_params(10, params)
+    logger.writer.flush()
+    lines = [
+        _json.loads(line)
+        for line in open(tmp_path / "logs" / "scalars.jsonl")
+        if line.strip()
+    ]
+    hist = [r for r in lines if r.get("kind") == "histogram"]
+    tb_files = [
+        f for f in os.listdir(tmp_path / "logs") if f.startswith("events")
+    ]
+    # either the TB event files carry the histograms or the JSONL fallback
+    assert hist or tb_files
+    if hist:
+        tags = {r["tag"] for r in hist}
+        assert "acoustic/params/encoder/w" in tags
