@@ -157,23 +157,30 @@ def cmd_acoustic(args):
 
     state = init_train_state(model, optimizer, jax.random.PRNGKey(config.train.seed))
     ckpt = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
-    if ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
-        print(f"[acoustic] resumed from step {int(state.step)}")
-    # place the whole state on the mesh: params per TP rules, the rest
-    # replicated (restored arrays arrive committed to a single device, which
-    # would conflict with the data-sharded batch under jit)
+    # mesh placement: params per TP rules, everything else replicated
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    state = state._replace(
-        params=jax.device_put(state.params, param_sharding_rules(state.params, mesh)),
-        batch_stats=jax.device_put(state.batch_stats, repl),
-        opt_state=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl), state.opt_state
-        ),
-        step=jax.device_put(state.step, repl),
+    state_shardings = state._replace(
+        params=param_sharding_rules(state.params, mesh),
+        batch_stats=jax.tree_util.tree_map(lambda _: repl, state.batch_stats),
+        opt_state=jax.tree_util.tree_map(lambda _: repl, state.opt_state),
+        step=repl,
     )
+    if ckpt.latest_step() is not None:
+        # restore each shard straight onto its mesh position — no host
+        # gather + re-placement round trip (matters past one host's RAM)
+        state = ckpt.restore_sharded(state, state_shardings)
+        print(f"[acoustic] resumed from step {int(state.step)}")
+    else:
+        state = state._replace(
+            params=jax.device_put(state.params, state_shardings.params),
+            batch_stats=jax.device_put(state.batch_stats, repl),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), state.opt_state
+            ),
+            step=jax.device_put(state.step, repl),
+        )
 
     valid_dataset = AcousticDataset(
         valid_entries, speakers, stats, config,
