@@ -136,9 +136,10 @@ def drain_batches(engine, n_seqs, dispatched):
     """Fetch + trim + stitch (host) like production serving."""
     results = [None] * n_seqs
     total_frames = 0
+    import jax
+
     for batch_idx, audio, mel_lens in dispatched:
-        audio_np = np.asarray(audio)
-        mel_np = np.asarray(mel_lens)
+        audio_np, mel_np = jax.device_get((audio, mel_lens))
         for row, i in enumerate(batch_idx):
             n = int(mel_np[row])
             results[i] = audio_np[row, : n * engine.hop_length]

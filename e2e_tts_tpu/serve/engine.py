@@ -409,15 +409,19 @@ class SynthesisEngine:
             max_total = int(total_np.max())
             if max_total <= T_est:
                 n_keep = min(max_total, T_est) * self.hop_length
-                audio_np = np.asarray(audio[:, :n_keep])
-                mel_lens_np = np.asarray(mel_lens)
+                # one RPC for both arrays: each fetch pays the tunnel's
+                # fixed ~30ms RTT, so audio + lens ride together
+                audio_np, mel_lens_np = jax.device_get(
+                    (audio[:, :n_keep], mel_lens)
+                )
             elif max_total <= MAX_MEL_LEN:
                 T = _mel_bucket(max_total)
                 audio, mel_lens = self._stage2(L, T)(
                     self.acoustic_params, self._voc_params, x, durations, p, e
                 )
-                audio_np = np.asarray(audio[:, : max_total * self.hop_length])
-                mel_lens_np = np.asarray(mel_lens)
+                audio_np, mel_lens_np = jax.device_get(
+                    (audio[:, : max_total * self.hop_length], mel_lens)
+                )
             else:
                 # Some chunk predicts more frames than any bucket holds:
                 # re-split the offending sequences at phoneme boundaries
