@@ -35,6 +35,58 @@ def _lang_symbols(lang: str):
     return len(symbols), None
 
 
+def warm_start_params(params, bundle_dir: str):
+    """Graft a deploy bundle's acoustic weights onto a fresh train state for
+    fine-tuning on a new voice (SURVEY §7 config[4]): leaves with matching
+    shapes copy over; a speaker-embedding table with a different number of
+    rows copies the overlapping speakers and initializes NEW speakers from
+    the bundle's mean voice.  Mismatched-architecture leaves keep their
+    fresh init with a warning."""
+    import warnings
+
+    from flax import serialization
+
+    with open(os.path.join(bundle_dir, "acoustic.msgpack"), "rb") as f:
+        blob = f.read()
+    # deserialize against the target structure; shape mismatches surface as
+    # raw arrays we handle below
+    src_tree = serialization.msgpack_restore(blob)
+    src_params = src_tree.get("params", src_tree)
+
+    def graft(dst, src, path=""):
+        if isinstance(dst, dict):
+            out = {}
+            for k, v in dst.items():
+                if isinstance(src, dict) and k in src:
+                    out[k] = graft(v, src[k], f"{path}/{k}")
+                else:
+                    warnings.warn(f"warm start: no source for {path}/{k}")
+                    out[k] = v
+            return out
+        src_arr = np.asarray(src)
+        dst_arr = np.asarray(dst)
+        if src_arr.shape == dst_arr.shape:
+            return jnp.asarray(src_arr, dst_arr.dtype)
+        if (
+            "speaker_emb" in path
+            and src_arr.ndim == dst_arr.ndim == 2
+            and src_arr.shape[1] == dst_arr.shape[1]
+        ):
+            out = np.empty_like(dst_arr)
+            n = min(len(src_arr), len(dst_arr))
+            out[:n] = src_arr[:n]
+            if len(dst_arr) > n:  # new speakers start from the mean voice
+                out[n:] = src_arr.mean(axis=0)
+            return jnp.asarray(out, dst_arr.dtype)
+        warnings.warn(
+            f"warm start: shape mismatch at {path} "
+            f"{src_arr.shape} vs {dst_arr.shape}; keeping fresh init"
+        )
+        return dst
+
+    return graft(params, src_params)
+
+
 def cmd_prepare(args):
     from ..config import default_config, load_config
     from ..data import (
@@ -157,6 +209,11 @@ def cmd_acoustic(args):
 
     state = init_train_state(model, optimizer, jax.random.PRNGKey(config.train.seed))
     ckpt = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
+    if getattr(args, "init_from", None) and ckpt.latest_step() is None:
+        state = state._replace(
+            params=warm_start_params(state.params, args.init_from)
+        )
+        print(f"[acoustic] warm-started from bundle {args.init_from}")
     # mesh placement: params per TP rules, everything else replicated
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -623,6 +680,10 @@ def main(argv=None):
     pa.add_argument("--steps", type=int, default=600000)
     pa.add_argument("--ckpt-every", type=int, default=5000)
     pa.add_argument("--supervised", action="store_true")
+    pa.add_argument(
+        "--init-from", dest="init_from",
+        help="warm-start from a deploy bundle (fine-tune on a new voice)",
+    )
     pa.set_defaults(fn=cmd_acoustic)
 
     pv = sub.add_parser("vocoder")

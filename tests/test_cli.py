@@ -100,3 +100,58 @@ def test_full_cli_pipeline(corpus, tiny_config_path, tmp_path):
     eng = SynthesisEngine.from_checkpoint(bundle)
     audio = eng.synthesize("xin chào", speaker_id="spk")
     assert audio.dtype == np.int16 and len(audio) > 0
+
+
+def test_warm_start_params_from_bundle():
+    """--init-from grafts a bundle's acoustic weights onto a fresh state:
+    matching leaves copy, a grown speaker table keeps old voices and seeds
+    new ones from the mean voice (SURVEY §7 config[4] fine-tune path)."""
+    import os
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from e2e_tts_tpu.config import load_config
+    from e2e_tts_tpu.models.acoustic import FastSpeech2, init_acoustic_variables
+    from e2e_tts_tpu.nn import FeatureStats
+    from e2e_tts_tpu.train.cli import warm_start_params
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bundle = os.path.join(repo, "assets", "bundles", "vie_tiny")
+    if not os.path.isdir(bundle):
+        import pytest
+
+        pytest.skip("no checked-in bundle")
+
+    cfg = load_config(os.path.join(bundle, "config.yaml"))
+    from e2e_tts_tpu.text import symbols
+
+    # fine-tune target: same architecture, MORE speakers (2 -> 5)
+    model = FastSpeech2(
+        config=cfg.models.fastspeech2,
+        n_symbols=len(symbols),
+        n_speakers=5,
+        n_mel_channels=cfg.audio.mel.channels,
+        stats=FeatureStats(),
+    )
+    fresh = init_acoustic_variables(model, jax.random.PRNGKey(0))["params"]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # clean graft: no mismatch warnings
+        grafted = warm_start_params(fresh, bundle)
+
+    # encoder weights came from the bundle, not the fresh init
+    from flax import serialization
+
+    with open(os.path.join(bundle, "acoustic.msgpack"), "rb") as f:
+        src = serialization.msgpack_restore(f.read())["params"]
+    np.testing.assert_array_equal(
+        np.asarray(grafted["mel_linear"]["kernel"]),
+        np.asarray(src["mel_linear"]["kernel"]),
+    )
+    emb = np.asarray(grafted["speaker_emb"]["embedding"])
+    src_emb = np.asarray(src["speaker_emb"]["embedding"])
+    assert emb.shape[0] == 5 and src_emb.shape[0] == 2
+    np.testing.assert_array_equal(emb[:2], src_emb)
+    np.testing.assert_allclose(emb[2], src_emb.mean(0), rtol=1e-6)
