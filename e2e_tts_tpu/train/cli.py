@@ -334,6 +334,18 @@ def cmd_vocoder(args):
     state = init_vocoder_train_state(gen, config, g_opt, d_opt, jax.random.PRNGKey(0))
 
     ckpt = CheckpointManager(os.path.join(args.workdir, f"vocoder_{kind}_ckpt"))
+    if getattr(args, "init_from", None) and ckpt.latest_step() is None:
+        from flax import serialization
+
+        with open(os.path.join(args.init_from, "vocoder.msgpack"), "rb") as f:
+            src_tree = serialization.msgpack_restore(f.read())
+        state = state._replace(
+            g_params=jax.tree_util.tree_map(
+                lambda d, s: jnp.asarray(np.asarray(s), np.asarray(d).dtype),
+                state.g_params, src_tree,
+            )
+        )
+        print(f"[vocoder] warm-started generator from {args.init_from}")
     if ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"[vocoder] resumed from step {int(state.step)}")
@@ -692,6 +704,10 @@ def main(argv=None):
     pv.add_argument("--steps", type=int, default=400000)
     pv.add_argument("--ckpt-every", type=int, default=5000)
     pv.add_argument("--istft", action="store_true")
+    pv.add_argument(
+        "--init-from", dest="init_from",
+        help="warm-start the generator from a deploy bundle",
+    )
     pv.add_argument("--predicted-mels", action="store_true")
     pv.set_defaults(fn=cmd_vocoder)
 
