@@ -462,6 +462,54 @@ def cmd_e2e(args):
     if ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"[e2e] resumed from step {int(state.step)}")
+    elif getattr(args, "init_from", None):
+        # seed the joint fine-tune from a deploy bundle
+        from flax import serialization
+
+        state = state._replace(
+            acoustic_params=warm_start_params(
+                state.acoustic_params, args.init_from
+            )
+        )
+        with open(os.path.join(args.init_from, "vocoder.msgpack"), "rb") as f:
+            vsrc = serialization.msgpack_restore(f.read())
+        state = state._replace(
+            g_params=jax.tree_util.tree_map(
+                lambda d, s: jnp.asarray(np.asarray(s), np.asarray(d).dtype),
+                state.g_params, vsrc,
+            )
+        )
+        print(f"[e2e] warm-started from bundle {args.init_from}")
+    else:
+        # a joint GAN fine-tune continues the separately-trained stages:
+        # pick up the workdir's acoustic + vocoder checkpoints when present
+        from ..train import init_train_state, init_vocoder_train_state
+
+        ack = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
+        if ack.latest_step() is not None:
+            a_st = ack.restore(
+                init_train_state(model, am_opt, jax.random.PRNGKey(0))
+            )
+            state = state._replace(
+                acoustic_params=a_st.params,
+                acoustic_batch_stats=a_st.batch_stats,
+            )
+            print(f"[e2e] acoustic seeded from step {int(a_st.step)}")
+        ack.close()
+        vck = CheckpointManager(
+            os.path.join(args.workdir, "vocoder_hifigan_ckpt")
+        )
+        if vck.latest_step() is not None:
+            v_st = vck.restore(
+                init_vocoder_train_state(
+                    gen, config, g_opt, d_opt, jax.random.PRNGKey(0)
+                )
+            )
+            state = state._replace(
+                g_params=v_st.g_params, d_params=v_st.d_params
+            )
+            print(f"[e2e] vocoder seeded from step {int(v_st.step)}")
+        vck.close()
 
     # data-parallel over the mesh: acoustic + generator weights per TP
     # rules, discriminators/optimizer moments/batch stats replicated
@@ -653,13 +701,42 @@ def cmd_export(args):
     v_ckpt = CheckpointManager(os.path.join(args.workdir, f"vocoder_{kind}_ckpt"))
     v_state = v_ckpt.restore(v_state)
 
+    acoustic_vars = {"params": a_state.params, "batch_stats": a_state.batch_stats}
+    g_params = v_state.g_params
+
+    # a joint e2e fine-tune supersedes the per-stage checkpoints (hifigan
+    # only — the e2e loop trains that kind); --no-e2e exports the stages
+    e2e_dir = os.path.join(args.workdir, "e2e_ckpt")
+    if kind == "hifigan" and not args.no_e2e and os.path.isdir(e2e_dir):
+        from ..train.e2e_step import init_e2e_state
+
+        e_ckpt = CheckpointManager(e2e_dir)
+        if e_ckpt.latest_step() is not None:
+            am_opt = optimizer
+            e_state = e_ckpt.restore(
+                init_e2e_state(
+                    model, gen, config, am_opt, g_opt, g_opt,
+                    jax.random.PRNGKey(0),
+                )
+            )
+            acoustic_vars = {
+                "params": e_state.acoustic_params,
+                "batch_stats": e_state.acoustic_batch_stats,
+            }
+            g_params = e_state.g_params
+            print(
+                f"[export] using e2e fine-tune step {int(e_state.step)} "
+                "(pass --no-e2e for the per-stage checkpoints)"
+            )
+        e_ckpt.close()
+
     from ..models.vocoder import fuse_weight_norm
 
     save_bundle(
         args.output,
         config,
-        {"params": a_state.params, "batch_stats": a_state.batch_stats},
-        fuse_weight_norm(v_state.g_params),
+        acoustic_vars,
+        fuse_weight_norm(g_params),
         speakers,
         FS.from_dict(stats),
         kind,
@@ -717,6 +794,10 @@ def main(argv=None):
     pj.add_argument("--lang", default="vie", choices=["vie", "eng"])
     pj.add_argument("--steps", type=int, default=100000)
     pj.add_argument("--ckpt-every", type=int, default=5000)
+    pj.add_argument(
+        "--init-from", dest="init_from",
+        help="warm-start acoustic+vocoder from a deploy bundle",
+    )
     pj.set_defaults(fn=cmd_e2e)
 
     pg = sub.add_parser("generate-mels")
@@ -731,6 +812,10 @@ def main(argv=None):
     pe.add_argument("--config")
     pe.add_argument("--lang", default="vie", choices=["vie", "eng"])
     pe.add_argument("--istft", action="store_true")
+    pe.add_argument(
+        "--no-e2e", action="store_true",
+        help="ignore an e2e fine-tune checkpoint; export the raw stages",
+    )
     pe.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)

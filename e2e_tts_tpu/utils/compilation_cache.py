@@ -26,6 +26,12 @@ def enable_persistent_cache() -> bool:
         return False
     import jax
 
+    # TPU-only: XLA:CPU AOT results bake host machine features into the
+    # cache, and reloading them under a different feature set warns about
+    # possible SIGILL; CPU compiles are fast enough without a cache.
+    if jax.default_backend() not in ("tpu",):
+        return False
+
     path = os.environ.get(
         "E2E_TTS_COMPILE_CACHE_DIR",
         os.path.expanduser("~/.cache/e2e_tts_tpu/xla"),
