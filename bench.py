@@ -152,18 +152,57 @@ def synth_batch(engine, seqs, rng):
     return drain_batches(engine, len(seqs), dispatch_batches(engine, seqs, rng))
 
 
-def main():
-    import jax.numpy as jnp
+def _setup_with_retry(attempts: int = 3, wait_s: float = 15.0):
+    """Build the engine and run the compile/warmup pass, retrying on
+    transient backend failures (FAILED_PRECONDITION / UNAVAILABLE — e.g. a
+    stale process still holding the TPU when the driver starts; the
+    round-2 official bench record was exactly such a crash)."""
+    import sys
 
     from e2e_tts_tpu.serve import SynthesisEngine
     from e2e_tts_tpu.text import text_to_sequence
 
-    engine = SynthesisEngine.from_random(seed=0, dtype=jnp.bfloat16, batch_size=32)
-    seqs = [np.asarray(text_to_sequence(s), np.int32) for s in SENTENCES]
-    rng = np.random.RandomState(0)
+    import jax.numpy as jnp
 
-    # warmup / compile
-    synth_batch(engine, seqs, rng)
+    seqs = [np.asarray(text_to_sequence(s), np.int32) for s in SENTENCES]
+    last = None
+    for attempt in range(attempts):
+        try:
+            engine = SynthesisEngine.from_random(
+                seed=0, dtype=jnp.bfloat16, batch_size=32
+            )
+            rng = np.random.RandomState(0)
+            synth_batch(engine, seqs, rng)  # warmup / compile
+            return engine, seqs, rng
+        except Exception as e:  # noqa: BLE001 - classify then re-raise
+            msg = repr(e)
+            transient = any(
+                s in msg
+                for s in (
+                    "FAILED_PRECONDITION",
+                    "UNAVAILABLE",
+                    "DEADLINE_EXCEEDED",
+                    "RESOURCE_EXHAUSTED",
+                    "Unable to initialize backend",
+                )
+            )
+            if not transient or attempt == attempts - 1:
+                raise
+            last = e
+            print(
+                f"bench setup attempt {attempt + 1} failed transiently "
+                f"({type(e).__name__}); retrying in {wait_s:.0f}s",
+                file=sys.stderr,
+            )
+            _PROGRAMS.clear()
+            time.sleep(wait_s)
+    raise last  # pragma: no cover
+
+
+def main():
+    import jax.numpy as jnp
+
+    engine, seqs, rng = _setup_with_retry()
 
     # throughput loop, depth-2 pipeline: iteration k+1's compute overlaps
     # iteration k's device->host transfers (the tunnel is the bottleneck)

@@ -32,6 +32,60 @@ _INIT_CACHE_DIR = os.environ.get(
 )
 
 
+def _rng_key_bytes(rng) -> bytes:
+    """Cache-key bytes for an init rng WITHOUT any accelerator operation.
+
+    The round-2 benchmark crash (BENCH_r02.json, rc=1) was this function's
+    predecessor calling ``np.asarray(rng)`` on a TPU-resident key as the
+    process's first device op and hitting FAILED_PRECONDITION.  Ints hash
+    host-side; CPU-committed arrays are a host copy; only a key that already
+    lives on an accelerator falls back to a device fetch (no init call path
+    in this package creates one — see ``cpu_rng_keys``).
+    """
+    import jax
+
+    if isinstance(rng, (int, np.integer)):
+        return str(int(rng)).encode()
+    arr = rng
+    if hasattr(jax.random, "key_data") and getattr(rng, "dtype", None) is not None:
+        if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+            arr = jax.random.key_data(rng)
+    devices = getattr(arr, "devices", None)
+    if isinstance(arr, jnp.ndarray) and devices is not None:
+        platforms = {d.platform for d in arr.devices()}
+        if platforms and platforms != {"cpu"}:  # pragma: no cover - defensive
+            arr = jax.device_get(arr)
+    return np.asarray(arr).tobytes()
+
+
+def cpu_rng_keys(seed: int, num: int = 1):
+    """PRNG keys born on the host CPU backend.
+
+    ``jax.random.PRNGKey`` eagerly runs threefry on the default device; when
+    that device is a remote TPU this makes key *creation* the process's first
+    accelerator op — fragile (stale-process FAILED_PRECONDITION) and slow
+    through a tunnel.  All init paths make their keys here instead.
+    """
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        key = jax.random.PRNGKey(seed)
+        return key if num == 1 else tuple(jax.random.split(key, num))
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
+
+
 def init_acoustic_variables(
     model: "FastSpeech2", rng, tiny_len: int = 16, tiny_mel: int = 32,
     use_cache: bool = True,
@@ -42,6 +96,9 @@ def init_acoustic_variables(
     aligner and postnet batch-norm variables exist regardless of how the
     model is later used; serving, checkpoints, and converters all share this
     structure.
+
+    ``rng`` may be a PRNG key or a plain int seed (the seed form never
+    touches any device for cache-key derivation — preferred for serving).
 
     Init math runs on the host CPU backend (compiling the init graph through
     a remote-TPU tunnel costs minutes; the arrays transfer on first use).
@@ -72,6 +129,10 @@ def init_acoustic_variables(
             {"params": init_rng, "dropout": _jax.random.PRNGKey(0)}, **kw
         )
 
+    rng_bytes = _rng_key_bytes(rng)
+    if isinstance(rng, (int, np.integer)):
+        rng = cpu_rng_keys(int(rng))
+
     cache_path = None
     if use_cache and jax.default_backend() != "cpu":
         import hashlib
@@ -85,7 +146,7 @@ def init_acoustic_variables(
                     model.n_symbols,
                     model.n_speakers,
                     model.n_mel_channels,
-                    np.asarray(rng).tobytes(),
+                    rng_bytes,
                 )
             ).encode()
         ).hexdigest()[:16]

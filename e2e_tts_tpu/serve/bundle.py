@@ -71,7 +71,7 @@ def load_bundle(bundle_dir: str) -> Tuple:
     import jax
     import jax.numpy as jnp
 
-    from ..models.acoustic import FastSpeech2, init_acoustic_variables
+    from ..models.acoustic import FastSpeech2, cpu_rng_keys, init_acoustic_variables
     from ..models.vocoder import build_generator
 
     if language == "eng":
@@ -86,11 +86,16 @@ def load_bundle(bundle_dir: str) -> Tuple:
         n_mel_channels=config.audio.mel.channels,
         stats=stats,
     )
-    template_a = init_acoustic_variables(acoustic, jax.random.PRNGKey(0))
+    template_a = init_acoustic_variables(acoustic, 0)
     voc = build_generator(config, vocoder_kind)
-    template_v = voc.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 16, config.audio.mel.channels))
-    )
+    try:
+        _cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        _cpu = None
+    with jax.default_device(_cpu):
+        template_v = voc.init(
+            cpu_rng_keys(0), jnp.zeros((1, 16, config.audio.mel.channels))
+        )
 
     with open(os.path.join(bundle_dir, "acoustic.msgpack"), "rb") as f:
         aparams = serialization.from_bytes(template_a, f.read())

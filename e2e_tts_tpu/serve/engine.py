@@ -592,9 +592,11 @@ class SynthesisEngine:
             stats=stats,
             dtype=dtype,
         )
-        from ..models.acoustic import init_acoustic_variables
+        from ..models.acoustic import cpu_rng_keys, init_acoustic_variables
 
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        # keys born on the host CPU backend: key creation must not be this
+        # process's first accelerator op (BENCH_r02 FAILED_PRECONDITION)
+        k1, k2 = cpu_rng_keys(seed, 2)
         aparams = init_acoustic_variables(acoustic, k1)
         from ..models.vocoder import init_generator_params
 

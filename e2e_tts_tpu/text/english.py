@@ -1,18 +1,30 @@
 """English text frontend (ARPAbet).
 
 The reference serves English through an external Coqui-TTS VITS checkpoint
-(reference: synthesizer.py:12-25) and keeps a CMU ARPAbet symbol block for
-foreign words (models/g2p/symbols.py:10-19, the "@PH" tags consumed by
-text_to_sequence).  External torch checkpoints cannot ship here, so English
-is a first-class in-framework frontend instead: a built-in lexicon of common
-words plus rule-based letter-to-sound for everything else, emitting the same
-"@PH" ARPAbet tags the VN foreign-word path uses.  Models trained with this
-frontend use the extended symbol table (build_symbols(include_cmu=True), 200
-symbols; VN ids are unchanged because the CMU block appends after them).
+(reference: synthesizer.py:12-25) and runs g2p_en (trained LTS + CMUdict)
+for English words embedded in Vietnamese text (models/g2p/g2p.py:56,146-150).
+External torch checkpoints cannot ship here, so English is a first-class
+in-framework frontend instead, with the same lexicon-first architecture as
+g2p_en:
+
+1. a ~1,500-lemma pronunciation lexicon (text/data/english_lexicon.txt,
+   CMUdict-style entries — the CMU dictionary is public domain),
+2. a morphological layer that derives inflected forms (plural -s/-es, past
+   -ed, -ing, -er/-est, -ly, -ness/-ful/-less, possessives) from lexicon
+   lemmas with the correct voicing-conditioned suffix phonology, and
+3. rule-based letter-to-sound for true OOV words (accuracy quantified by
+   tests/test_english.py::test_lts_heldout_accuracy).
+
+All paths emit the same "@PH" ARPAbet tags the VN foreign-word path uses.
+Models trained with this frontend use the extended symbol table
+(build_symbols(include_cmu=True), 200 symbols; VN ids are unchanged because
+the CMU block appends after them).
 """
 
 from __future__ import annotations
 
+import os
+import re
 import string
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -55,6 +67,148 @@ ENGLISH_VOCAB = (
     "flower bird fish river mountain light dark day night love dream home"
 ).split()
 
+
+def _load_lexicon_file() -> Dict[str, str]:
+    path = os.path.join(os.path.dirname(__file__), "data", "english_lexicon.txt")
+    out: Dict[str, str] = {}
+    with open(path, encoding="utf8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            word, _, phones = line.partition(" ")
+            out[word.lower()] = phones.strip()
+    return out
+
+
+# file entries win over the legacy inline seed lexicon
+_LEXICON.update(_load_lexicon_file())
+
+
+# --- morphology: derive inflected forms from lexicon lemmas -----------------
+
+_VOICELESS = frozenset("P T K F TH S SH CH HH".split())
+_SIBILANT = frozenset("S Z SH ZH CH JH".split())
+
+
+def _strip_stress(p: str) -> str:
+    return p.rstrip("012")
+
+
+def _plural_suffix(phones: List[str]) -> List[str]:
+    last = _strip_stress(phones[-1])
+    if last in _SIBILANT:
+        return ["IH0", "Z"]
+    if last in _VOICELESS:
+        return ["S"]
+    return ["Z"]
+
+
+def _past_suffix(phones: List[str]) -> List[str]:
+    last = _strip_stress(phones[-1])
+    if last in ("T", "D"):
+        return ["IH0", "D"]
+    if last in _VOICELESS:
+        return ["T"]
+    return ["D"]
+
+
+def _lemma_phones(base: str) -> Optional[List[str]]:
+    phones = _LEXICON.get(base)
+    return phones.split() if phones else None
+
+
+def _stem_candidates(stem: str) -> List[str]:
+    """Spelling variants a suffix-stripped stem may correspond to:
+    "mak" -> "make" (dropped silent e), "runn" -> "run" (doubled final
+    consonant), "happi" -> "happy" (y -> i mutation)."""
+    cands = [stem]
+    if stem and stem[-1] not in "aeiou":
+        cands.append(stem + "e")
+        if len(stem) >= 2 and stem[-1] == stem[-2]:
+            cands.append(stem[:-1])
+    if stem.endswith("i"):
+        cands.append(stem[:-1] + "y")
+    return cands
+
+
+def _inflected_phones(word: str) -> Optional[List[str]]:
+    """Derive an inflected form's phones from a lexicon lemma, or None."""
+    if word in _LEXICON:
+        return None  # plain lookup handles it
+
+    # possessives / contractions of 's
+    if word.endswith("'s") or word.endswith("s'"):
+        base = word[:-2] if word.endswith("'s") else word[:-1]
+        phones = _lemma_phones(base) or _inflected_phones(base)
+        if phones:
+            return phones + _plural_suffix(phones)
+        return None
+
+    # -ies / -ied: "cities" -> city + Z, "carried" -> carry + D
+    if word.endswith("ies") or word.endswith("ied"):
+        phones = _lemma_phones(word[:-3] + "y")
+        if phones:
+            tail = _plural_suffix(phones) if word.endswith("s") else _past_suffix(phones)
+            return phones + tail
+
+    # -es after a sibilant: "boxes", "watches"
+    if word.endswith("es"):
+        for base in _stem_candidates(word[:-2]):
+            phones = _lemma_phones(base)
+            if phones:
+                last = _strip_stress(phones[-1])
+                if last in _SIBILANT:
+                    return phones + ["IH0", "Z"]
+                return phones + _plural_suffix(phones)
+
+    # plural / 3rd-person -s
+    if word.endswith("s") and not word.endswith("ss"):
+        phones = _lemma_phones(word[:-1])
+        if phones:
+            return phones + _plural_suffix(phones)
+
+    # past -ed: "walked", "loved" (e-final lemma), "planned" (doubling)
+    if word.endswith("ed"):
+        for base in _stem_candidates(word[:-2]):
+            phones = _lemma_phones(base)
+            if phones:
+                return phones + _past_suffix(phones)
+
+    # progressive -ing: "walking", "making", "running"
+    if word.endswith("ing"):
+        for base in _stem_candidates(word[:-3]):
+            phones = _lemma_phones(base)
+            if phones:
+                return phones + ["IH0", "NG"]
+
+    # comparative -er / superlative -est
+    if word.endswith("er"):
+        for base in _stem_candidates(word[:-2]):
+            phones = _lemma_phones(base)
+            if phones:
+                return phones + ["ER0"]
+    if word.endswith("est"):
+        for base in _stem_candidates(word[:-3]):
+            phones = _lemma_phones(base)
+            if phones:
+                return phones + ["AH0", "S", "T"]
+
+    # adverbial -ly, nominal -ness, adjectival -ful / -less
+    for suffix, tail in (
+        ("ly", ["L", "IY0"]),
+        ("ness", ["N", "AH0", "S"]),
+        ("ful", ["F", "AH0", "L"]),
+        ("less", ["L", "AH0", "S"]),
+    ):
+        if word.endswith(suffix):
+            stem = word[: -len(suffix)]
+            for base in _stem_candidates(stem):
+                phones = _lemma_phones(base)
+                if phones:
+                    return phones + tail
+    return None
+
 # ---------------------------------------------------------------------------
 # Rule-based letter-to-sound fallback.  Longest-match left-to-right over
 # (grapheme, context) patterns; "$" anchors end of word.  Coverage is the
@@ -63,41 +217,88 @@ ENGLISH_VOCAB = (
 # ---------------------------------------------------------------------------
 
 _RULES: List[Tuple[str, str]] = [
-    ("tion$", "SH AH0 N"), ("sion$", "ZH AH0 N"), ("ought", "AO1 T"),
-    ("augh", "AO1"), ("eigh", "EY1"), ("igh", "AY1"), ("tch", "CH"),
-    ("dge", "JH"), ("ing$", "IH0 NG"), ("ed$", "D"),
-    ("air", "EH1 R"), ("ear", "IH1 R"), ("oor", "AO1 R"),
-    ("ch", "CH"), ("sh", "SH"), ("th", "TH"), ("ph", "F"), ("wh", "W"),
-    ("ck", "K"), ("ng", "NG"), ("qu", "K W"), ("wr", "R"), ("kn", "N"),
-    ("ai", "EY1"), ("ay", "EY1"), ("au", "AO1"), ("aw", "AO1"),
-    ("ee", "IY1"), ("ea", "IY1"), ("ey", "EY1"), ("ew", "UW1"),
-    ("ie", "IY1"), ("oa", "OW1"), ("oo", "UW1"), ("ou", "AW1"),
-    ("ow", "OW1"), ("oi", "OY1"), ("oy", "OY1"), ("ue", "UW1"),
-    ("ui", "UW1"), ("ar", "AA1 R"), ("er", "ER0"), ("ir", "ER1"),
-    ("or", "AO1 R"), ("ur", "ER1"),
+    # multi-letter endings
+    ("ation$", "EY1 SH AH0 N"), ("ations$", "EY1 SH AH0 N Z"),
+    ("tions$", "SH AH0 N Z"), ("sions$", "ZH AH0 N Z"),
+    ("ould$", "UH1 D"), ("ange$", "EY1 N JH"), ("aste$", "EY1 S T"),
+    ("tion$", "SH AH0 N"), ("sion$", "ZH AH0 N"), ("tious$", "SH AH0 S"),
+    ("cious$", "SH AH0 S"), ("ture$", "CH ER0"), ("sure$", "ZH ER0"),
+    ("tial$", "SH AH0 L"), ("cial$", "SH AH0 L"), ("ought", "AO1 T"),
+    ("aught", "AO1 T"), ("ight", "AY1 T"), ("eigh", "EY1"), ("igh", "AY1"),
+    ("able$", "AH0 B AH0 L"), ("ible$", "AH0 B AH0 L"),
+    ("ism$", "IH0 Z AH0 M"), ("ist$", "IH0 S T"), ("ity$", "IH0 T IY0"),
+    ("ment$", "M AH0 N T"), ("ness$", "N AH0 S"), ("ship$", "SH IH0 P"),
+    ("ous$", "AH0 S"), ("age$", "IH0 JH"), ("ate$", "EY2 T"),
+    ("ize$", "AY2 Z"), ("ise$", "AY2 Z"), ("ify$", "IH0 F AY2"),
+    ("ive$", "IH0 V"), ("ogy$", "AH0 JH IY0"), ("ical$", "IH0 K AH0 L"),
+    ("ing$", "IH0 NG"), ("ings$", "IH0 NG Z"), ("ed$", "D"),
+    ("ies$", "IY0 Z"), ("ey$", "IY0"), ("y$", "IY0"), ("le$", "AH0 L"),
+    ("es$", "Z"), ("ce$", "S"), ("ge$", "JH"), ("ve$", "V"),
+    ("se$", "Z"), ("ic$", "IH0 K"),
+    # consonant digraphs
+    ("tch", "CH"), ("dge", "JH"), ("ch", "CH"), ("sh", "SH"),
+    ("th", "TH"), ("ph", "F"), ("gh", "G"), ("wh", "W"), ("ck", "K"),
+    ("ng", "NG"), ("qu", "K W"), ("wr", "R"), ("kn", "N"), ("gn", "N"),
+    ("mb$", "M"), ("sc", "S K"), ("dd", "D"), ("bb", "B"), ("tt", "T"),
+    ("pp", "P"), ("ss", "S"), ("ll", "L"), ("mm", "M"), ("nn", "N"),
+    ("rr", "R"), ("ff", "F"), ("gg", "G"), ("zz", "Z"), ("cc", "K"),
+    # vowel + context patterns
+    ("all", "AO1 L"), ("old$", "OW1 L D"), ("ind$", "AY1 N D"),
+    # r-controlled and vowel digraphs
+    ("air", "EH1 R"), ("ear", "IH1 R"), ("eer", "IH1 R"), ("oor", "AO1 R"),
+    ("our", "AO1 R"), ("ai", "EY1"), ("ay", "EY1"), ("au", "AO1"),
+    ("aw", "AO1"), ("ee", "IY1"), ("ea", "IY1"), ("ei", "EY1"),
+    ("ey", "EY1"), ("ew", "UW1"), ("ie", "IY1"), ("oa", "OW1"),
+    ("oo", "UW1"), ("ou", "AW1"), ("ow", "OW1"), ("oi", "OY1"),
+    ("oy", "OY1"), ("ue", "UW1"), ("ui", "UW1"), ("ar", "AA1 R"),
+    ("er$", "ER0"), ("er", "ER1"), ("ir", "ER1"), ("or", "AO1 R"),
+    ("ur", "ER1"),
+    # single letters (soft c/g handled contextually in letter_to_sound)
     ("a", "AE1"), ("b", "B"), ("c", "K"), ("d", "D"), ("e", "EH1"),
     ("f", "F"), ("g", "G"), ("h", "HH"), ("i", "IH1"), ("j", "JH"),
     ("k", "K"), ("l", "L"), ("m", "M"), ("n", "N"), ("o", "AA1"),
     ("p", "P"), ("r", "R"), ("s", "S"), ("t", "T"), ("u", "AH1"),
-    ("v", "V"), ("w", "W"), ("x", "K S"), ("y", "IY0"), ("z", "Z"),
+    ("v", "V"), ("w", "W"), ("x", "K S"), ("y", "Y"), ("z", "Z"),
 ]
+
+# "magic e": rewrite V-C-e$ so the vowel reads long via the digraph rules
+# above (stone -> stoan -> S T OW1 N, time -> tighm -> T AY1 M).
+_MAGIC_E = re.compile(r"([aeiou])([bdfgkmnprstz])e$")
+_LONG_VOWEL = {"a": "ai", "e": "ee", "i": "igh", "o": "oa", "u": "ue"}
+# suffixes that keep the stem's magic-e reading: "maker", "timing"
+_MAGIC_E_SUFFIX = re.compile(r"([aeiou])([bdfgkmnprstvz])(ing|er|ers|ed)$")
 
 
 def letter_to_sound(word: str) -> List[str]:
-    """Rule-based grapheme -> ARPAbet for out-of-lexicon words."""
+    """Rule-based grapheme -> ARPAbet for out-of-lexicon words.
+
+    Longest-match left-to-right with a handful of context rules (soft c,
+    magic e, y as consonant/vowel).  Accuracy on held-out lexicon words is
+    measured by tests/test_english.py — rough but consistent, which is the
+    serving contract for true OOVs."""
     word = word.lower()
-    # silent final e after consonant ("stone" -> ston) with long prior vowel
-    # handled approximately: drop it, rules above carry the vowels
-    if (
-        len(word) > 2
-        and word.endswith("e")
-        and word[-2] not in "aeiou"
-        and word[-3] in "aeiou"
-    ):
-        word = word[:-1]
+    word = _MAGIC_E.sub(lambda m: _LONG_VOWEL[m.group(1)] + m.group(2), word)
+    word = _MAGIC_E_SUFFIX.sub(
+        lambda m: _LONG_VOWEL[m.group(1)] + m.group(2) + m.group(3), word
+    )
     out: List[str] = []
     i = 0
     while i < len(word):
+        # soft c: "ce/ci/cy" -> S
+        if word[i] == "c" and i + 1 < len(word) and word[i + 1] in "eiy":
+            out.append("S")
+            i += 1
+            continue
+        # y: consonant at word/syllable start, vowel elsewhere
+        if word[i] == "y":
+            if i == 0:
+                out.append("Y")
+            elif i == len(word) - 1:
+                out.append("AY1" if len(word) <= 3 else "IY0")
+            else:
+                out.append("IH0")
+            i += 1
+            continue
         for pat, phones in _RULES:
             anchored = pat.endswith("$")
             p = pat[:-1] if anchored else pat
@@ -111,10 +312,15 @@ def letter_to_sound(word: str) -> List[str]:
 
 
 def word_to_phonemes(word: str) -> List[str]:
-    phones = _LEXICON.get(word.lower())
-    if phones is None:
-        return [f"@{p}" for p in letter_to_sound(word)]
-    return [f"@{p}" for p in phones.split()]
+    """Lexicon -> morphology -> letter-to-sound, first hit wins."""
+    low = word.lower()
+    phones = _LEXICON.get(low)
+    if phones is not None:
+        return [f"@{p}" for p in phones.split()]
+    derived = _inflected_phones(low)
+    if derived is not None:
+        return [f"@{p}" for p in derived]
+    return [f"@{p}" for p in letter_to_sound(word)]
 
 
 _PUNCT = frozenset(string.punctuation)

@@ -119,10 +119,20 @@ _ABBREVIATIONS = {
 }
 
 _UNITS_RE = re.compile(r"^(\d+(?:[.,]\d+)?)(%|km|kg|cm|mm|ml|m|g|l)$", re.IGNORECASE)
-_CURRENCY_RE = re.compile(r"^(\d[\d.]*)(đ|vnđ|vnd|usd|\$)$", re.IGNORECASE)
+_CURRENCY_RE = re.compile(r"^(\d[\d.]*(?:,\d+)?)(đ|vnđ|vnd|usd|\$)$", re.IGNORECASE)
+_DOLLAR_PREFIX_RE = re.compile(r"^\$(\d[\d.]*(?:,\d+)?)$")
+_CURRENCY_SHORT_RE = re.compile(r"^(\d+(?:[.,]\d+)?)(k|tr)$", re.IGNORECASE)
 _RANGE_RE = re.compile(r"^(\d+)-(\d+)$")
 _DATE_RE = re.compile(r"^(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?$")
+# "3-5/7[/2026]": a day range within one month
+_DAY_RANGE_RE = re.compile(r"^(\d{1,2})-(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?$")
+# "28/12-3/1[/2026]": a full date range
+_DATE_RANGE_RE = re.compile(
+    r"^(\d{1,2})/(\d{1,2})-(\d{1,2})/(\d{1,2})(?:/(\d{2,4}))?$"
+)
 _TIME_RE = re.compile(r"^(\d{1,2})[:h](\d{2})?$")
+# "8h-17h30" / "8:00-17:00": a time range
+_TIME_RANGE_RE = re.compile(r"^(\d{1,2})[:h](\d{2})?-(\d{1,2})[:h](\d{2})?$")
 _NUM_RE = re.compile(r"^-?\d+$")
 _DEC_RE = re.compile(r"^\d+[.,]\d+$")
 _THOUSANDS_RE = re.compile(r"^\d{1,3}(\.\d{3})+$")
@@ -171,12 +181,69 @@ def ordinal_to_words(n: int) -> str:
     return number_to_words(n)
 
 
+# --- roman numerals ----------------------------------------------------------
+
+_ROMAN_RE = re.compile(
+    r"^(?=[IVXLCDM])M{0,3}(CM|CD|D?C{0,3})(XC|XL|L?X{0,3})(IX|IV|V?I{0,3})$"
+)
+# Words whose FOLLOWING roman numeral is read as a number ("thế kỷ XXI",
+# "chương IV", "Đại hội XIII", "quý II"). Keyed on the immediately
+# preceding (lowercased) token.
+_ROMAN_TRIGGERS = {
+    "thứ", "chương", "kỷ", "lần", "khóa", "khoá", "quý", "phần", "tập",
+    "mùa", "vòng", "kỳ", "hội", "đời", "đoạn", "hồi",
+}
+_ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+
+
+def roman_to_int(s: str) -> int:
+    """Value of a valid roman-numeral string."""
+    total = 0
+    for i, c in enumerate(s):
+        v = _ROMAN_VALUES[c]
+        if i + 1 < len(s) and _ROMAN_VALUES[s[i + 1]] > v:
+            total -= v
+        else:
+            total += v
+    return total
+
+
+def _is_roman(tok: str, prev: str) -> bool:
+    """A roman numeral worth reading as a number: either context-triggered
+    (after "chương"/"kỷ"/...) or unambiguous (only I/V/X, 2+ chars — "III",
+    "XXI" — which no Vietnamese acronym spelling should claim)."""
+    if not _ROMAN_RE.match(tok):
+        return False
+    if prev in _ROMAN_TRIGGERS:
+        return True
+    return len(tok) >= 2 and set(tok) <= {"I", "V", "X"}
+
+
+def _read_amount(num: str) -> str:
+    """Read a numeric amount that may carry '.'-thousands separators and a
+    ','-decimal part ("1.500.000", "2,5", "1.234,56")."""
+    num = num.replace(".", "")
+    if "," in num:
+        return decimal_to_words(num)
+    return number_to_words(int(num))
+
+
+def _read_time(h: str, mnt) -> str:
+    out = f"{number_to_words(int(h))} giờ"
+    if mnt and int(mnt):
+        out += f" {number_to_words(int(mnt))} phút"
+    return out
+
+
 def _normalize_token(tok: str, prev: str = "") -> str:
     low = tok.lower()
     if low in _ABBREVIATIONS:
         return _ABBREVIATIONS[low]
     if prev == "thứ" and _NUM_RE.match(tok) and int(tok) > 0:
         return ordinal_to_words(int(tok))
+    if _is_roman(tok, prev):
+        n = roman_to_int(tok)
+        return ordinal_to_words(n) if prev == "thứ" else number_to_words(n)
     if _is_acronym(tok):
         return spell_acronym(tok)
     m = _CURRENCY_RE.match(low)
@@ -184,7 +251,39 @@ def _normalize_token(tok: str, prev: str = "") -> str:
         num, cur = m.groups()
         words = {"đ": "đồng", "vnđ": "đồng", "vnd": "đồng",
                  "usd": "đô la", "$": "đô la"}[cur]
-        return f"{number_to_words(int(num.replace('.', '')))} {words}"
+        return f"{_read_amount(num)} {words}"
+    m = _DOLLAR_PREFIX_RE.match(tok)
+    if m:
+        return f"{_read_amount(m.group(1))} đô la"
+    m = _CURRENCY_SHORT_RE.match(low)
+    if m:
+        num, suffix = m.groups()
+        scale = "nghìn" if suffix == "k" else "triệu"
+        return f"{_read_amount(num)} {scale}"
+    m = _DATE_RANGE_RE.match(tok)
+    if m:
+        d1, m1, d2, m2, y = m.groups()
+        out = (
+            f"từ ngày {number_to_words(int(d1))} tháng {number_to_words(int(m1))}"
+            f" đến ngày {number_to_words(int(d2))} tháng {number_to_words(int(m2))}"
+        )
+        if y:
+            out += f" năm {number_to_words(int(y))}"
+        return out
+    m = _DAY_RANGE_RE.match(tok)
+    if m:
+        d1, d2, mth, y = m.groups()
+        out = (
+            f"từ ngày {number_to_words(int(d1))} đến ngày "
+            f"{number_to_words(int(d2))} tháng {number_to_words(int(mth))}"
+        )
+        if y:
+            out += f" năm {number_to_words(int(y))}"
+        return out
+    m = _TIME_RANGE_RE.match(low)
+    if m:
+        h1, m1, h2, m2 = m.groups()
+        return f"từ {_read_time(h1, m1)} đến {_read_time(h2, m2)}"
     m = _RANGE_RE.match(tok)
     if m:
         a, b = m.groups()
@@ -199,10 +298,7 @@ def _normalize_token(tok: str, prev: str = "") -> str:
     m = _TIME_RE.match(tok)
     if m:
         h, mnt = m.groups()
-        out = f"{number_to_words(int(h))} giờ"
-        if mnt and int(mnt):
-            out += f" {number_to_words(int(mnt))} phút"
-        return out
+        return _read_time(h, mnt)
     m = _UNITS_RE.match(tok)
     if m:
         num, unit = m.groups()
@@ -226,6 +322,7 @@ def normalize_text(text: str) -> str:
         lambda m: _ABBREVIATIONS[m.group(1).lower()], text
     )
     # Separate kept punctuation into standalone tokens; drop the rest.
+    text = re.sub(r"[–—]", "-", text)
     text = re.sub(r"[“”\"'()\[\]{}]", " ", text)
     text = re.sub(r"\.{2,}", ".", text)
     text = re.sub(rf"([{re.escape(_KEEP_PUNCT)}])", r" \1 ", text)

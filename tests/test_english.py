@@ -74,6 +74,96 @@ def test_english_to_sequence_ids_valid():
     assert seq.count(silent) == 0
 
 
+def _strip(ps):
+    return [p.rstrip("012") for p in ps]
+
+
+def test_lexicon_scale_and_integrity():
+    from e2e_tts_tpu.text.english import _LEXICON
+
+    # dictionary-scale pronunciation: >=1,500 lemmas, every phone in-table
+    assert len(_LEXICON) >= 1500
+    valid = {s[1:] for s in ENGLISH_SYMBOLS if s.startswith("@")}
+    for word, phones in _LEXICON.items():
+        for p in _strip(phones.split()):
+            assert p in valid, f"{word}: {p} not in symbol table"
+
+
+def test_morphology_derives_inflections():
+    from e2e_tts_tpu.text.english import _inflected_phones
+
+    cases = {
+        # voicing-conditioned plural: S after voiceless, Z after voiced,
+        # IH0 Z after sibilants
+        "cats": ["K", "AE1", "T", "S"],
+        "dogs": ["D", "AO1", "G", "Z"],
+        "boxes": ["B", "AA1", "K", "S", "IH0", "Z"],
+        "cities": ["S", "IH1", "T", "IY0", "Z"],
+        # past tense: T / D / IH0 D
+        "walked": ["W", "AO1", "K", "T"],
+        "loved": ["L", "AH1", "V", "D"],
+        "planned": ["P", "L", "AE1", "N", "D"],
+        "needed": ["N", "IY1", "D", "IH0", "D"],
+        # -ing with silent-e and doubled-consonant stems
+        "making": ["M", "EY1", "K", "IH0", "NG"],
+        "running": ["R", "AH1", "N", "IH0", "NG"],
+        # derivational suffixes
+        "happiness": ["HH", "AE1", "P", "IY0", "N", "AH0", "S"],
+        "colorful": ["K", "AH1", "L", "ER0", "F", "AH0", "L"],
+        "teacher's": ["T", "IY1", "CH", "ER0", "Z"],
+    }
+    for word, want in cases.items():
+        assert _inflected_phones(word) == want, word
+
+
+def test_lts_heldout_accuracy():
+    """Documented LTS quality number (VERDICT r2 item 3): the rules never
+    see the lexicon, so the full lexicon is a held-out set — and a hard one
+    (it includes the irregular core vocabulary).  Measured 2026-08-17:
+    word-exact 46.4%, phoneme error rate 21.4% over 1,583 words."""
+    import difflib
+
+    from e2e_tts_tpu.text.english import _LEXICON
+
+    n = word_ok = phone_err = phone_tot = 0
+    for w, ph in _LEXICON.items():
+        if not w.isalpha():
+            continue
+        gold, pred = _strip(ph.split()), _strip(letter_to_sound(w))
+        n += 1
+        word_ok += gold == pred
+        sm = difflib.SequenceMatcher(a=gold, b=pred)
+        phone_err += sum(
+            max(i2 - i1, j2 - j1)
+            for tag, i1, i2, j1, j2 in sm.get_opcodes()
+            if tag != "equal"
+        )
+        phone_tot += len(gold)
+    assert n >= 1500
+    assert word_ok / n >= 0.40, f"LTS word accuracy regressed: {word_ok / n:.3f}"
+    assert phone_err / phone_tot <= 0.25, (
+        f"LTS phoneme error rate regressed: {phone_err / phone_tot:.3f}"
+    )
+
+
+def test_running_text_lexicon_coverage():
+    """Arbitrary everyday text resolves through lexicon+morphology (not LTS)
+    for >=90% of tokens — the 'English as a first-class language' bar."""
+    from e2e_tts_tpu.text.english import _LEXICON, _inflected_phones
+
+    text = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "into the forest where many animals lived happily together during "
+        "the long cold winter months while children played games near the "
+        "river and their parents watched carefully from the warm houses "
+        "every morning before work they walked along the streets of the "
+        "city talking about music books movies and the latest news stories"
+    )
+    toks = text.split()
+    hits = sum(1 for t in toks if t in _LEXICON or _inflected_phones(t))
+    assert hits / len(toks) >= 0.90, f"coverage {hits / len(toks):.2f}"
+
+
 @pytest.fixture(scope="module")
 def eng_engine():
     from e2e_tts_tpu.config import default_config

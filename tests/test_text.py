@@ -171,6 +171,44 @@ def test_normalize_acronyms():
     assert "ích" not in out2
 
 
+def test_normalize_roman_numerals():
+    out = normalize_text("thế kỷ XXI và chương IV của Đại hội XIII")
+    assert "thế kỷ hai mươi mốt" in out
+    assert "chương bốn" in out
+    assert "hội mười ba" in out
+    # "thứ" + roman reads as an ordinal
+    assert "thứ tư" in normalize_text("lần thứ IV")
+    # standalone I/V/X-only romans read without a trigger word
+    assert "ba" in normalize_text("phần III").split()
+    # a roman-shaped acronym with L/C/D/M chars needs a trigger word
+    out2 = normalize_text("đài MC đưa tin")
+    assert "một nghìn" not in out2
+
+
+def test_normalize_currency_amounts():
+    out = normalize_text("giá 1.500.000đ và 25 USD")
+    assert "một triệu năm trăm nghìn đồng" in out
+    assert "hai mươi lăm đô la" in out
+    out2 = normalize_text("khoảng $5 thôi")
+    assert "năm đô la" in out2
+    out3 = normalize_text("mức 2,5tr mỗi tháng và 500k tiền điện")
+    assert "hai phẩy năm triệu" in out3
+    assert "năm trăm nghìn" in out3
+
+
+def test_normalize_date_ranges():
+    out = normalize_text("diễn ra từ 3-5/7/2026 tại Hà Nội")
+    assert "từ ngày ba đến ngày năm tháng bảy năm hai nghìn" in out
+    out2 = normalize_text("nghỉ lễ 28/12-3/1")
+    assert "từ ngày hai mươi tám tháng mười hai đến ngày ba tháng một" in out2
+    out3 = normalize_text("mở cửa 8h-17h30 hằng ngày")
+    assert "từ tám giờ đến mười bảy giờ ba mươi phút" in out3
+    # en dash folds to the same reading
+    assert normalize_text("3–5/7") == normalize_text("3-5/7")
+    # plain numeric ranges still read as before
+    assert "năm đến bảy" in normalize_text("khoảng 5-7 ngày")
+
+
 def test_is_valid_syllable():
     for w in ("xin", "chào", "nghiêng", "quyết", "người"):
         assert is_valid_syllable(w), w
