@@ -82,10 +82,9 @@ def _fused_with_durations(engine, L, T):
                 method=engine.acoustic.synthesize_stage2,
             )
             audio = engine._voc_apply(vparams, mel)
-            audio_i16 = jnp.clip(
-                audio.astype(jnp.float32) * 32767.0, -32768, 32767
-            ).astype(jnp.int16)
-            return audio_i16, mel_lens
+            # engine's wire format: int16, or mu-law uint8 when the engine
+            # was built with transfer_codec="mulaw8"
+            return engine._encode_transfer(audio), mel_lens
 
         _PROGRAMS[key] = jax.jit(fn)
     return _PROGRAMS[key]
@@ -142,7 +141,9 @@ def drain_batches(engine, n_seqs, dispatched):
         audio_np, mel_np = jax.device_get((audio, mel_lens))
         for row, i in enumerate(batch_idx):
             n = int(mel_np[row])
-            results[i] = audio_np[row, : n * engine.hop_length]
+            results[i] = engine._decode_transfer(
+                audio_np[row, : n * engine.hop_length]
+            )
             total_frames += n
     out = np.concatenate([r for r in results if r is not None])
     return out, total_frames
@@ -168,8 +169,11 @@ def _setup_with_retry(attempts: int = 3, wait_s: float = 15.0):
     last = None
     for attempt in range(attempts):
         try:
+            import os
+
             engine = SynthesisEngine.from_random(
-                seed=0, dtype=jnp.bfloat16, batch_size=32
+                seed=0, dtype=jnp.bfloat16, batch_size=32,
+                transfer_codec=os.environ.get("E2E_TTS_TRANSFER_CODEC") or None,
             )
             rng = np.random.RandomState(0)
             synth_batch(engine, seqs, rng)  # warmup / compile

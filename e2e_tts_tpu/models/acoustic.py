@@ -296,6 +296,37 @@ class FastSpeech2(nn.Module):
             "energy_target": va["energy_target"],
         }
 
+    def content_features(self, mel, speakers=None):
+        """Phoneme posteriorgram (PPG) from the trained aligner.
+
+        Projects each mel frame with the aligner's query stack and the FULL
+        symbol inventory's embeddings with its key stack, returning the
+        Gaussian-attention posterior over phonemes, (B, T, n_symbols).  The
+        aligner was trained to put every frame near its phoneme's embedding
+        (the "One TTS Alignment" objective), so this is a content
+        representation with speaker timbre largely projected out — the
+        matching space kNN-VC needs (serve/voice_conversion.py), standing in
+        for the reference's external FreeVC content encoder
+        (reference synthesizer.py:26-28).
+        """
+        if not self.config.variance.duration_modelling.learn_alignment:
+            raise ValueError("content_features needs the unsupervised aligner")
+        B, T = mel.shape[0], mel.shape[1]
+        ids = jnp.arange(self.n_symbols, dtype=jnp.int32)[None]
+        full_mask = jnp.ones((1, self.n_symbols), bool)
+        _, sym_emb = self.encoder(ids, full_mask, deterministic=True)
+        sym_emb = jnp.broadcast_to(sym_emb, (B,) + sym_emb.shape[1:])
+        if speakers is None:
+            speakers = jnp.zeros((B,), jnp.int32)
+        spk = self.speaker_emb(speakers).astype(self.dtype)
+        attn_soft, _ = self.variance_adaptor.aligner(
+            mel,
+            sym_emb,
+            jnp.broadcast_to(full_mask, (B, self.n_symbols)),
+            spk_emb=spk,
+        )
+        return attn_soft  # (B, T, n_symbols)
+
     def synthesize_stage1(
         self,
         speakers,

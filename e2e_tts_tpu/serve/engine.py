@@ -75,6 +75,7 @@ class SynthesisEngine:
         language: str = "vie",
         serving_devices: Optional[int] = None,
         use_flash: Optional[bool] = None,
+        transfer_codec: Optional[str] = None,
     ):
         from ..utils.compilation_cache import enable_persistent_cache
 
@@ -173,12 +174,41 @@ class SynthesisEngine:
             use_folded_vocoder and vocoder_kind == "hifigan"
         )
 
+        # D2H transfer codec: None ships int16; "mulaw8" ships uint8 mu-law
+        # (G.711-style companding), halving the dominant serving cost on
+        # tunnel-bound deploys (~38 dB SNR — opt in where the link, not the
+        # chip, is the bottleneck; see tests/test_serve.py for the quality
+        # bound and ROADMAP.md for measured RTF).
+        if transfer_codec not in (None, "mulaw8"):
+            raise ValueError(f"unknown transfer_codec {transfer_codec!r}")
+        self.transfer_codec = transfer_codec
+
         import threading
 
         self._stage1_cache = {}
         self._stage2_cache = {}
         self._cache_lock = threading.Lock()  # concurrent serving threads
         self.n_programs_compiled = 0
+
+    # --- transfer codec -----------------------------------------------------
+
+    _MU = 255.0
+
+    def _encode_transfer(self, audio):
+        """On-device: float waveform -> wire dtype (int16 or mu-law uint8)."""
+        x = jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)
+        if self.transfer_codec == "mulaw8":
+            y = jnp.sign(x) * jnp.log1p(self._MU * jnp.abs(x)) / jnp.log1p(self._MU)
+            return jnp.round((y + 1.0) * 127.5).astype(jnp.uint8)
+        return jnp.clip(x * 32767.0, -32768, 32767).astype(jnp.int16)
+
+    def _decode_transfer(self, arr: np.ndarray) -> np.ndarray:
+        """Host-side: wire dtype -> int16 waveform."""
+        if self.transfer_codec == "mulaw8":
+            y = arr.astype(np.float32) / 127.5 - 1.0
+            x = np.sign(y) * (np.power(1.0 + self._MU, np.abs(y)) - 1.0) / self._MU
+            return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+        return arr
 
     # --- program builders -------------------------------------------------
 
@@ -242,12 +272,9 @@ class SynthesisEngine:
                     method=self.acoustic.synthesize_stage2,
                 )
                 audio = self._voc_apply(vparams, mel)
-                # quantize on device: 4x less host transfer (the tunnel D2H
-                # path is the serving bottleneck, not compute)
-                audio_i16 = jnp.clip(
-                    audio.astype(jnp.float32) * 32767.0, -32768, 32767
-                ).astype(jnp.int16)
-                return audio_i16, mel_lens
+                # quantize on device: 4x (int16) or 8x (mu-law) less host
+                # transfer (the tunnel D2H path is the serving bottleneck)
+                return self._encode_transfer(audio), mel_lens
 
             self._stage2_cache[key] = self._serve_jit(
                 fn,
@@ -281,11 +308,8 @@ class SynthesisEngine:
                     method=self.acoustic.synthesize_stage2,
                 )
                 audio = self._voc_apply(vparams, mel)
-                audio_i16 = jnp.clip(
-                    audio.astype(jnp.float32) * 32767.0, -32768, 32767
-                ).astype(jnp.int16)
                 total_dur = jnp.sum(durations, axis=-1)
-                return audio_i16, mel_lens, total_dur, x, durations
+                return self._encode_transfer(audio), mel_lens, total_dur, x, durations
 
             self._stage2_cache[key] = self._serve_jit(
                 fn,
@@ -436,7 +460,7 @@ class SynthesisEngine:
                 for row, i in enumerate(batch_idx):
                     if int(total_np[row]) <= MAX_MEL_LEN:
                         n = int(fit_lens_np[row]) * self.hop_length
-                        results[i] = fit_audio_np[row, :n]
+                        results[i] = self._decode_transfer(fit_audio_np[row, :n])
                     else:
                         pieces = self._split_sequence(
                             seqs[i], int(total_np[row])
@@ -454,7 +478,9 @@ class SynthesisEngine:
                                 f"to {MAX_MEL_LEN}"
                             )
                             n = int(fit_lens_np[row]) * self.hop_length
-                            results[i] = fit_audio_np[row, :n]
+                            results[i] = self._decode_transfer(
+                                fit_audio_np[row, :n]
+                            )
                         else:
                             parts = self._synthesize_sequences(
                                 pieces, int(spk_of[i]), p, e, d
@@ -464,7 +490,7 @@ class SynthesisEngine:
 
             for row, i in enumerate(batch_idx):
                 n = int(mel_lens_np[row]) * self.hop_length
-                results[i] = audio_np[row, :n]
+                results[i] = self._decode_transfer(audio_np[row, :n])
         return results
 
     def _split_sequence(self, seq: np.ndarray, total_frames: int) -> List[np.ndarray]:
@@ -529,6 +555,31 @@ class SynthesisEngine:
             fn(self._voc_params, pad[None])[0], np.float32
         )
         return audio[: T * self.hop_length]
+
+    def mel_content_features(self, mel: np.ndarray, speaker: int = 0) -> np.ndarray:
+        """Phoneme posteriorgram of a log-mel (T, n_mels) -> (T, n_symbols)
+        from the trained aligner (models/acoustic.py content_features).
+        Content-only features for kNN voice conversion; pads T to the
+        serving mel buckets so programs are reused."""
+        T = int(mel.shape[0])
+        if T == 0:
+            return np.zeros((0, 0), np.float32)
+        Tb = _mel_bucket(T)
+        pad = np.zeros((Tb, mel.shape[1]), np.float32)
+        pad[:T] = mel
+        with self._cache_lock:
+            key = ("ppg", Tb)
+            if key not in self._stage2_cache:
+                self._stage2_cache[key] = jax.jit(
+                    lambda p, m, s: self.acoustic.apply(
+                        p, m, s, method=self.acoustic.content_features
+                    )
+                )
+                self.n_programs_compiled += 1
+            fn = self._stage2_cache[key]
+        spk = jnp.full((1,), speaker, jnp.int32)
+        ppg = np.asarray(fn(self.acoustic_params, pad[None], spk)[0], np.float32)
+        return ppg[:T]
 
     def make_denoiser(self, mode: str = "zeros"):
         """Bias denoiser for this engine's vocoder (models/denoiser.py);

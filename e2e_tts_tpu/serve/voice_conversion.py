@@ -129,15 +129,38 @@ class KnnVoiceConverter:
         context: int = 2,
         temperature: float = 10.0,
         fallback: Optional[object] = None,
+        feature_mode: str = "auto",
     ):
         """``engine``: a SynthesisEngine whose trained vocoder renders the
         converted mel; without one, conversion falls back to ``fallback``
-        (default SpectralVoiceConverter)."""
+        (default SpectralVoiceConverter).
+
+        ``feature_mode``: the matching space —
+        - "ppg": phoneme posteriorgrams from the engine's trained aligner
+          (engine.mel_content_features) — content-by-construction, the
+          closest in-framework analogue of kNN-VC's WavLM features;
+        - "cmvn": per-utterance-normalized context-stacked log-mels —
+          no model needed, but formant structure (speaker-dependent)
+          remains in the metric;
+        - "auto": "ppg" when the engine has the unsupervised aligner,
+          else "cmvn".
+        """
         self.engine = engine
         self.k = k
         self.context = context
         self.temperature = temperature
         self.fallback = fallback or SpectralVoiceConverter()
+        if feature_mode == "auto":
+            feature_mode = "ppg" if self._engine_has_aligner() else "cmvn"
+        if feature_mode == "ppg" and not self._engine_has_aligner():
+            raise ValueError("feature_mode='ppg' needs an engine with the aligner")
+        self.feature_mode = feature_mode
+
+    def _engine_has_aligner(self) -> bool:
+        if self.engine is None:
+            return False
+        fs2 = self.engine.config.models.fastspeech2
+        return bool(fs2.variance.duration_modelling.learn_alignment)
 
     # --- features ----------------------------------------------------------
 
@@ -155,15 +178,23 @@ class KnnVoiceConverter:
         mel = np.asarray(mel_spectrogram(padded[None], p)[0], np.float32)
         return mel.T[:T]  # (T, n_mels)
 
-    def _features(self, mel: np.ndarray) -> np.ndarray:
-        """Per-utterance CMVN + context stacking: (T, (2c+1) * n_mels)."""
-        mu, sd = mel.mean(axis=0), mel.std(axis=0) + 1e-5
-        z = (mel - mu) / sd
+    def _stack_context(self, z: np.ndarray) -> np.ndarray:
+        """Stack +-context neighbor frames: (T, D) -> (T, (2c+1) * D)."""
         c = self.context
         padded = np.pad(z, ((c, c), (0, 0)), mode="edge")
         return np.concatenate(
-            [padded[i : i + len(mel)] for i in range(2 * c + 1)], axis=1
+            [padded[i : i + len(z)] for i in range(2 * c + 1)], axis=1
         )
+
+    def _features(self, mel: np.ndarray) -> np.ndarray:
+        """Matching features for one utterance's mel (T, n_mels)."""
+        if self.feature_mode == "ppg":
+            ppg = self.engine.mel_content_features(mel)
+            # sqrt maps the probability simplex onto the unit sphere, so the
+            # kernel's cosine similarity becomes the Bhattacharyya affinity
+            return self._stack_context(np.sqrt(np.maximum(ppg, 0.0)))
+        mu, sd = mel.mean(axis=0), mel.std(axis=0) + 1e-5
+        return self._stack_context((mel - mu) / sd)
 
     # --- conversion --------------------------------------------------------
 

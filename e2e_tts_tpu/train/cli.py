@@ -22,6 +22,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 
 def _lang_symbols(lang: str):
@@ -449,11 +450,24 @@ def cmd_e2e(args):
     am_opt = acoustic_optimizer(
         config.train.fastspeech2_optimizer, config.models.fastspeech2.encoder_hidden
     )
+    # fine-tune conditioning (VERDICT r2 item 2): scale down the acoustic
+    # LR (the Noam schedule restarts at step 0, so an unscaled fine-tune
+    # soon runs at PEAK LR over trained weights) and optionally the
+    # discriminator LR; the adversarial weight ramps via --adv-warmup
+    am_scale = getattr(args, "am_lr_scale", 1.0)
+    if am_scale != 1.0:
+        am_opt = optax.chain(am_opt, optax.scale(am_scale))
     g_opt = gan_optimizer(config.train.hifigan_optimizer)
     d_opt = gan_optimizer(config.train.hifigan_optimizer)
+    d_scale = getattr(args, "d_lr_scale", 1.0)
+    if d_scale != 1.0:
+        d_opt = optax.chain(d_opt, optax.scale(d_scale))
     n_words = max(config.models.fastspeech2.max_seq_len, 256)
     step_fn = jax.jit(
-        make_e2e_train_step(model, gen, config, am_opt, g_opt, d_opt, n_words)
+        make_e2e_train_step(
+            model, gen, config, am_opt, g_opt, d_opt, n_words,
+            adv_warmup_steps=getattr(args, "adv_warmup", 0),
+        )
     )
     state = init_e2e_state(
         model, gen, config, am_opt, g_opt, d_opt, jax.random.PRNGKey(config.train.seed)
@@ -797,6 +811,18 @@ def main(argv=None):
     pj.add_argument(
         "--init-from", dest="init_from",
         help="warm-start acoustic+vocoder from a deploy bundle",
+    )
+    pj.add_argument(
+        "--adv-warmup", dest="adv_warmup", type=int, default=0,
+        help="ramp adversarial+fm weight 0->1 over N steps",
+    )
+    pj.add_argument(
+        "--am-lr-scale", dest="am_lr_scale", type=float, default=1.0,
+        help="scale on the acoustic Noam LR for fine-tuning",
+    )
+    pj.add_argument(
+        "--d-lr-scale", dest="d_lr_scale", type=float, default=1.0,
+        help="scale on the discriminator LR",
     )
     pj.set_defaults(fn=cmd_e2e)
 

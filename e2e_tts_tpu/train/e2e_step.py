@@ -64,7 +64,15 @@ def make_e2e_train_step(
     segment_frames: int = 32,
     mpd=None,
     msd=None,
+    adv_warmup_steps: int = 0,
 ):
+    """``adv_warmup_steps``: ramp the adversarial + feature-matching weight
+    linearly from 0 over this many steps.  A fine-tune that starts from
+    trained per-stage weights otherwise lets early discriminator noise
+    degrade an already-good generator before D stabilizes (the measured
+    round-2 regression: 400 blunt steps dropped the MOS-proxy 4.07 -> 3.69);
+    during the ramp the generator still learns from the mel + variance
+    losses while D calibrates on the current voice."""
     mpd = mpd or MultiPeriodDiscriminator()
     msd = msd or MultiScaleDiscriminator()
     mel_params = MelParams.from_config(config.audio, loss=True)
@@ -147,8 +155,14 @@ def make_e2e_train_step(
         loss_fm = feature_loss(prf, pff) + feature_loss(srf, sff)
         loss_adv = generator_adv_loss(pf) + generator_adv_loss(sf)
 
+        if adv_warmup_steps > 0:
+            adv_w = jnp.clip(step.astype(jnp.float32) / adv_warmup_steps, 0.0, 1.0)
+        else:
+            adv_w = 1.0
         total = (
-            loss_adv + loss_fm + MEL_LOSS_WEIGHT * loss_mel + var_losses["total"]
+            adv_w * (loss_adv + loss_fm)
+            + MEL_LOSS_WEIGHT * loss_mel
+            + var_losses["total"]
         )
         metrics = {
             "total": total,

@@ -72,6 +72,57 @@ def test_knn_shifts_speaker_stats_preserving_content():
 
 
 @pytest.fixture(scope="module")
+def trained_engine():
+    from e2e_tts_tpu.serve import SynthesisEngine
+
+    return SynthesisEngine.from_checkpoint("assets/bundles/vie_tiny", batch_size=2)
+
+
+def test_ppg_features_beat_cmvn(trained_engine):
+    """VERDICT r2 item 4: matching on the trained aligner's phoneme
+    posteriorgrams must beat CMVN-mel matching on BOTH speaker-stat shift
+    toward the target and source-content preservation.
+
+    Measured 2026-08-17 (same text, two synthetic speakers):
+      cmvn: shift ratio 0.326, content corr 0.751
+      ppg:  shift ratio 0.080, content corr 0.795
+    """
+    text = "xin chào bạn tôi yêu nước non"
+    src = _mel(synth_text(text, f0=150.0, seed=0))
+    tgt = _mel(synth_text(text, f0=220.0, seed=0))
+
+    def z(m):
+        return (m - m.mean(0)) / (m.std(0) + 1e-5)
+
+    results = {}
+    for mode in ("cmvn", "ppg"):
+        vc = KnnVoiceConverter(engine=trained_engine, k=4, feature_mode=mode)
+        out = vc.convert_mel(src, tgt)
+        shift = np.abs(out.mean(0) - tgt.mean(0)).mean() / np.abs(
+            src.mean(0) - tgt.mean(0)
+        ).mean()
+        zs, zo = z(src), z(out)
+        corr = float((zs * zo).mean() / max(zs.std() * zo.std(), 1e-6))
+        results[mode] = (shift, corr)
+
+    ppg_shift, ppg_corr = results["ppg"]
+    cmvn_shift, cmvn_corr = results["cmvn"]
+    assert ppg_shift < cmvn_shift, results
+    assert ppg_corr > cmvn_corr, results
+    # absolute floors so both modes regressing together still fails
+    assert ppg_shift < 0.15 and ppg_corr > 0.75, results
+
+
+def test_ppg_auto_mode_selection(trained_engine):
+    vc = KnnVoiceConverter(engine=trained_engine)
+    assert vc.feature_mode == "ppg"
+    vc2 = KnnVoiceConverter(engine=None)
+    assert vc2.feature_mode == "cmvn"
+    with pytest.raises(ValueError):
+        KnnVoiceConverter(engine=None, feature_mode="ppg")
+
+
+@pytest.fixture(scope="module")
 def small_engine():
     from e2e_tts_tpu.serve import SynthesisEngine
 
