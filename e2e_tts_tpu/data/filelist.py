@@ -55,8 +55,9 @@ def create_unsupervised_filelist(
 ) -> Tuple[List[str], List[str]]:
     """Returns (kept lines, skipped utterance names).
 
-    ``lang``: "vie" runs the Vietnamese G2P with OOV filtering; "eng" runs
-    the English frontend (lexicon + letter-to-sound — nothing is OOV)."""
+    ``lang``: "vie" runs the Vietnamese G2P with OOV filtering; any other
+    registered frontend (text/frontends.py — "eng", "mya") runs its own
+    phonemizer (rule-based fallbacks, so nothing is OOV)."""
     foreign_dicts = foreign_dicts or {}
     lines, skipped = [], []
     for corpus in corpus_dirs:
@@ -69,10 +70,10 @@ def create_unsupervised_filelist(
                     continue
                 fname, speaker, transcript = row.split("|")[:3]
                 words = transcript.lower().split()
-                if lang == "eng":
-                    from ..text.english import english_phonemize
+                if lang != "vie":
+                    from ..text.frontends import get_frontend
 
-                    phonemes, boundaries = english_phonemize(words)
+                    phonemes, boundaries = get_frontend(lang).phonemize(words)
                 else:
                     oov = [
                         w

@@ -74,10 +74,9 @@ def load_bundle(bundle_dir: str) -> Tuple:
     from ..models.acoustic import FastSpeech2, cpu_rng_keys, init_acoustic_variables
     from ..models.vocoder import build_generator
 
-    if language == "eng":
-        from ..text.english import ENGLISH_SYMBOLS as _syms
-    else:
-        from ..text import symbols as _syms
+    from ..text.frontends import get_frontend
+
+    _syms = get_frontend(language).symbols
 
     acoustic = FastSpeech2(
         config=config.models.fastspeech2,

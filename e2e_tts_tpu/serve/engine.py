@@ -26,7 +26,7 @@ from ..config import Config, default_config
 from ..models.acoustic import FastSpeech2
 from ..models.vocoder import build_generator, istft_to_audio
 from ..nn.variance import FeatureStats
-from ..text import text_to_sequence, symbols
+from ..text.frontends import get_frontend
 from .chunking import arrange_text
 
 TEXT_BUCKETS = (32, 64, 96, 128, 192, 256, 320)
@@ -114,16 +114,11 @@ class SynthesisEngine:
         self.language = language
 
         # frontend dispatch: the router serves one engine per language
-        # (reference synthesizer.py:12-25 routed eng to an external model;
-        # here English is a first-class frontend, text/english.py)
-        if language == "eng":
-            from ..text.english import ENGLISH_SYMBOLS, english_to_sequence
-
-            n_symbols = len(ENGLISH_SYMBOLS)
-            self._to_sequence = lambda c: english_to_sequence(c)
-        else:
-            n_symbols = len(symbols)
-            self._to_sequence = lambda c: text_to_sequence(c, self.foreign_dict)
+        # (reference synthesizer.py:12-25 routed eng/mya to external models;
+        # here every language is an in-framework frontend, text/frontends.py)
+        fe = get_frontend(language)
+        n_symbols = len(fe.symbols)
+        self._to_sequence = lambda c: fe.to_sequence(c, self.foreign_dict)
 
         # Pallas flash attention is OFF by default: measured on v5e at the
         # decoder's serving shapes (B=16, 2 heads, D=128), XLA's fused
@@ -629,12 +624,7 @@ class SynthesisEngine:
         config = config or default_config()
         stats = FeatureStats()
         speakers = {f"speaker_{i}": i for i in range(n_speakers)}
-        if language == "eng":
-            from ..text.english import ENGLISH_SYMBOLS
-
-            n_symbols = len(ENGLISH_SYMBOLS)
-        else:
-            n_symbols = len(symbols)
+        n_symbols = len(get_frontend(language).symbols)
         acoustic = FastSpeech2(
             config=config.models.fastspeech2,
             n_symbols=n_symbols,

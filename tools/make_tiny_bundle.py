@@ -103,7 +103,7 @@ def dsp_stats(audio: np.ndarray, sr: int) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--name", default="vie_tiny")
-    ap.add_argument("--lang", default="vie", choices=["vie", "eng"])
+    ap.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     ap.add_argument("--acoustic-steps", type=int, default=4000)
     ap.add_argument("--vocoder-steps", type=int, default=3000)
     ap.add_argument("--corpus", default=None, help="reuse an existing corpus dir")
@@ -120,13 +120,18 @@ def main(argv=None):
     golden_dir = os.path.join(REPO, "tests", "assets", f"golden_{args.name}")
 
     lang_kw = {}
-    if args.lang == "eng":
+    if args.lang != "vie":
         from e2e_tts_tpu.data.synthetic import make_sentences
-        from e2e_tts_tpu.text.english import ENGLISH_VOCAB, english_phonemize
+        from e2e_tts_tpu.text.frontends import get_frontend
 
+        fe = get_frontend(args.lang)
+        if args.lang == "eng":
+            from e2e_tts_tpu.text.english import ENGLISH_VOCAB as vocab
+        else:
+            from e2e_tts_tpu.text.burmese import BURMESE_VOCAB as vocab
         lang_kw = {
-            "sentences": make_sentences(48, seed=0, vocab=ENGLISH_VOCAB),
-            "phonemize_fn": lambda s: english_phonemize(s)[0],
+            "sentences": make_sentences(48, seed=0, vocab=vocab),
+            "phonemize_fn": lambda s: fe.phonemize(s)[0],
         }
 
     if not os.path.exists(os.path.join(corpus, "metadata.csv")):
@@ -157,6 +162,8 @@ def main(argv=None):
     texts = GOLDEN_TEXTS
     if args.lang == "eng":
         texts = ["hello world we sing", "the sun and the moon"]
+    elif args.lang == "mya":
+        texts = ["နေ ကောင်း လမ်း", "ရေ မိုး တောင်"]
     stats_all = {}
     for i, text in enumerate(texts):
         for spk in sorted(eng.speakers):

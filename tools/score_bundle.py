@@ -30,6 +30,11 @@ DEFAULT_TEXTS = {
         "the sun and the moon",
         "we love the river and tree",
     ],
+    "mya": [
+        "နေ ကောင်း လမ်း",
+        "ရေ မိုး တောင်",
+        "ပန်း အိမ် ည",
+    ],
 }
 
 
