@@ -139,17 +139,6 @@ def _conv(x, w, b, dil=1, pad=None):
     return y + b.astype(x.dtype)
 
 
-def _convT(x, w, b, stride):
-    k = w.shape[0]
-    p = (k - stride) // 2
-    pad = k - 1 - p
-    y = jax.lax.conv_general_dilated(
-        x, jnp.flip(w, 0).astype(x.dtype), window_strides=(1,),
-        padding=[(pad, pad)], lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"))
-    return y + b.astype(x.dtype)
-
-
 def _lrelu(x, slope=LRELU_SLOPE):
     return jnp.where(x >= 0, x, slope * x)
 
@@ -204,7 +193,17 @@ class FoldedHifiGan:
                         )
                 f_cur = f_new
             else:
-                st["up"] = (jnp.asarray(w_up), jnp.asarray(b_up))
+                # High-channel stage: the resblocks already fill the MXU, but
+                # the transposed conv must NOT run as an lhs-dilated conv
+                # (stride-1 over 7/8 inserted zeros).  Polyphase rewrite: the
+                # same fold_convT_weight construction at f_in=1 emits all
+                # ``u`` sub-positions as output-channel blocks from ONE
+                # stride-1 conv — a dense (taps*C_in, u*C_out) matmul — and a
+                # free row-major reshape interleaves them back in time.
+                assert f_cur == 1, "high-channel stage after a folded stage"
+                wf, lpad = fold_convT_weight(w_up, u, 1)
+                st["up_lpad"] = lpad
+                st["up"] = (jnp.asarray(wf), jnp.asarray(np.tile(b_up, u)))
                 st["f"] = 1
                 st["ch"] = ch
                 for j, rk in enumerate(rks):
@@ -251,30 +250,23 @@ class FoldedHifiGan:
             x = x.astype(dtype)
         w, b = weights["conv_pre"]
         x = _conv(x, w, b)
-        f_prev = 1
         for st in self.plan:
             i, u, f = st["i"], st["u"], st["f"]
             x = _lrelu(x)
-            if st["fold"]:
-                wf, bf = weights[f"up_{i}"]
-                lpad = st["up_lpad"]
-                kf = wf.shape[0]
-                # folded transposed conv: same folded length, F_out = F_in*u
-                y = jax.lax.conv_general_dilated(
-                    x, wf.astype(x.dtype), window_strides=(1,),
-                    padding=[(lpad, kf - 1 - lpad)],
-                    dimension_numbers=("NWC", "WIO", "NWC"))
-                x = y + bf.astype(x.dtype)
-                # refold to this stage's F via free row-major reshape
-                B = x.shape[0]
-                x = x.reshape(B, -1, f * st["ch"])
-                x = self._res_stack(weights, st, x, folded=True)
-                f_prev = f
-            else:
-                w, b = weights[f"up_{i}"]
-                x = _convT(x, w, b, u)
-                x = self._res_stack(weights, st, x, folded=False)
-                f_prev = 1
+            # transposed conv as polyphase stride-1 conv (all stages): the
+            # folded length stays constant, sub-positions land in channel
+            # blocks, and the row-major reshape interleaves them in time
+            wf, bf = weights[f"up_{i}"]
+            lpad = st["up_lpad"]
+            kf = wf.shape[0]
+            y = jax.lax.conv_general_dilated(
+                x, wf.astype(x.dtype), window_strides=(1,),
+                padding=[(lpad, kf - 1 - lpad)],
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            x = y + bf.astype(x.dtype)
+            B = x.shape[0]
+            x = x.reshape(B, -1, f * st["ch"])
+            x = self._res_stack(weights, st, x, folded=st["fold"])
         x = _lrelu(x, 0.01)  # torch default slope on the head (generator.py:49)
         if self.final_fold > 1:
             wf, bf = weights["conv_post"]

@@ -27,13 +27,33 @@ import optax
 
 def _lang_symbols(lang: str):
     """(n_symbols, symbol_table) for a frontend language."""
-    if lang == "eng":
-        from ..text.english import ENGLISH_SYMBOLS, ENGLISH_SYMBOL_TO_ID
+    from ..text.frontends import get_frontend
 
-        return len(ENGLISH_SYMBOLS), ENGLISH_SYMBOL_TO_ID
-    from ..text import symbols
+    fe = get_frontend(lang)
+    # the VN table is the dataset default; None keeps that fast path
+    return len(fe.symbols), (None if lang == "vie" else fe.symbol_to_id)
 
-    return len(symbols), None
+
+def e2e_optimizers(config, am_scale: float = 1.0, d_scale: float = 1.0):
+    """(acoustic, generator, discriminator) optimizers for the joint e2e
+    fine-tune.  The acoustic/discriminator transforms are always chained
+    with a scale stage so the opt-state STRUCTURE is identical whatever the
+    --am-lr-scale/--d-lr-scale values — e2e checkpoints restore against the
+    same template regardless of how they were trained (cmd_export)."""
+    from ..train import acoustic_optimizer, gan_optimizer
+
+    am = optax.chain(
+        acoustic_optimizer(
+            config.train.fastspeech2_optimizer,
+            config.models.fastspeech2.encoder_hidden,
+        ),
+        optax.scale(am_scale),
+    )
+    g = gan_optimizer(config.train.hifigan_optimizer)
+    d = optax.chain(
+        gan_optimizer(config.train.hifigan_optimizer), optax.scale(d_scale)
+    )
+    return am, g, d
 
 
 def warm_start_params(params, bundle_dir: str):
@@ -454,14 +474,18 @@ def cmd_e2e(args):
     # LR (the Noam schedule restarts at step 0, so an unscaled fine-tune
     # soon runs at PEAK LR over trained weights) and optionally the
     # discriminator LR; the adversarial weight ramps via --adv-warmup
-    am_scale = getattr(args, "am_lr_scale", 1.0)
-    if am_scale != 1.0:
-        am_opt = optax.chain(am_opt, optax.scale(am_scale))
-    g_opt = gan_optimizer(config.train.hifigan_optimizer)
-    d_opt = gan_optimizer(config.train.hifigan_optimizer)
-    d_scale = getattr(args, "d_lr_scale", 1.0)
-    if d_scale != 1.0:
-        d_opt = optax.chain(d_opt, optax.scale(d_scale))
+    # the UNSCALED optimizers keep the per-stage checkpoints' opt-state
+    # structure for the restore templates below; the e2e optimizers are
+    # ALWAYS chained with a scale so the e2e checkpoint structure does not
+    # depend on the CLI flags (export rebuilds the same template via
+    # e2e_optimizers)
+    am_opt_base = am_opt
+    d_opt_base = gan_optimizer(config.train.hifigan_optimizer)
+    am_opt, g_opt, d_opt = e2e_optimizers(
+        config,
+        am_scale=getattr(args, "am_lr_scale", 1.0),
+        d_scale=getattr(args, "d_lr_scale", 1.0),
+    )
     n_words = max(config.models.fastspeech2.max_seq_len, 256)
     step_fn = jax.jit(
         make_e2e_train_step(
@@ -502,7 +526,7 @@ def cmd_e2e(args):
         ack = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
         if ack.latest_step() is not None:
             a_st = ack.restore(
-                init_train_state(model, am_opt, jax.random.PRNGKey(0))
+                init_train_state(model, am_opt_base, jax.random.PRNGKey(0))
             )
             state = state._replace(
                 acoustic_params=a_st.params,
@@ -516,7 +540,7 @@ def cmd_e2e(args):
         if vck.latest_step() is not None:
             v_st = vck.restore(
                 init_vocoder_train_state(
-                    gen, config, g_opt, d_opt, jax.random.PRNGKey(0)
+                    gen, config, g_opt, d_opt_base, jax.random.PRNGKey(0)
                 )
             )
             state = state._replace(
@@ -726,10 +750,10 @@ def cmd_export(args):
 
         e_ckpt = CheckpointManager(e2e_dir)
         if e_ckpt.latest_step() is not None:
-            am_opt = optimizer
+            am_e, g_e, d_e = e2e_optimizers(config)
             e_state = e_ckpt.restore(
                 init_e2e_state(
-                    model, gen, config, am_opt, g_opt, g_opt,
+                    model, gen, config, am_e, g_e, d_e,
                     jax.random.PRNGKey(0),
                 )
             )
@@ -771,7 +795,7 @@ def main(argv=None):
     pp.add_argument("--corpus", nargs="+", required=True)
     pp.add_argument("--workdir", required=True)
     pp.add_argument("--config")
-    pp.add_argument("--lang", default="vie", choices=["vie", "eng"])
+    pp.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     pp.add_argument("--supervised", action="store_true")
     pp.add_argument("--overwrite", action="store_true")
     pp.set_defaults(fn=cmd_prepare)
@@ -779,7 +803,7 @@ def main(argv=None):
     pa = sub.add_parser("acoustic")
     pa.add_argument("--workdir", required=True)
     pa.add_argument("--config")
-    pa.add_argument("--lang", default="vie", choices=["vie", "eng"])
+    pa.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     pa.add_argument("--steps", type=int, default=600000)
     pa.add_argument("--ckpt-every", type=int, default=5000)
     pa.add_argument("--supervised", action="store_true")
@@ -805,7 +829,7 @@ def main(argv=None):
     pj = sub.add_parser("e2e")
     pj.add_argument("--workdir", required=True)
     pj.add_argument("--config")
-    pj.add_argument("--lang", default="vie", choices=["vie", "eng"])
+    pj.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     pj.add_argument("--steps", type=int, default=100000)
     pj.add_argument("--ckpt-every", type=int, default=5000)
     pj.add_argument(
@@ -829,14 +853,14 @@ def main(argv=None):
     pg = sub.add_parser("generate-mels")
     pg.add_argument("--workdir", required=True)
     pg.add_argument("--config")
-    pg.add_argument("--lang", default="vie", choices=["vie", "eng"])
+    pg.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     pg.set_defaults(fn=cmd_generate_mels)
 
     pe = sub.add_parser("export")
     pe.add_argument("--workdir", required=True)
     pe.add_argument("--output", required=True)
     pe.add_argument("--config")
-    pe.add_argument("--lang", default="vie", choices=["vie", "eng"])
+    pe.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     pe.add_argument("--istft", action="store_true")
     pe.add_argument(
         "--no-e2e", action="store_true",

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from e2e_tts_tpu.audio.wav import write_wav
 from e2e_tts_tpu.config import default_config, save_config
 

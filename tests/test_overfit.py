@@ -6,6 +6,10 @@ actually converges toward a target, i.e. gradients are not just finite but
 useful.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,6 +12,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from e2e_tts_tpu.config import default_config
 from e2e_tts_tpu.serve import BatchingServer, SynthesisEngine
 

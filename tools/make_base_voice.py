@@ -1,0 +1,145 @@
+"""Train a DEFAULT-SIZE voice (35M FastSpeech2 + 14M HiFi-GAN, BASELINE.md)
+on a scaled synthetic corpus — the "non-tiny voice" evidence (VERDICT r2
+item 7): real-scale training throughput, sharded checkpoints, and a served
+bundle from trained default-size weights.
+
+The resulting bundle (~190 MB of weights) is NOT checked into git; this
+tool trains into a workdir, exports, scores with the MOS-proxy, and prints
+a JSON summary whose numbers are recorded in BASELINE.md/ROADMAP.md.
+
+Usage:
+  python tools/make_base_voice.py [--acoustic-steps 6000] [--vocoder-steps 4000]
+      [--e2e-steps 0] [--sentences 300] [--workdir /tmp/base_work]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def base_config():
+    """Default-size models; training schedule compressed for a synthetic
+    corpus (the reference's 600k-step schedule assumes real data scale)."""
+    from e2e_tts_tpu.config import default_config
+
+    cfg = default_config()
+    fs2 = cfg.models.fastspeech2
+    fs2 = fs2.replace(
+        variance=fs2.variance.replace(
+            duration_modelling=fs2.variance.duration_modelling.replace(
+                binarization_start_steps=1200
+            )
+        ),
+    )
+    opt = cfg.train.fastspeech2_optimizer.replace(warm_up_step=800)
+    loss = cfg.train.fastspeech2_loss.replace(
+        binarization_loss_enable_steps=400,
+        binarization_loss_warmup_steps=1600,
+    )
+    train = cfg.train.replace(
+        batch_size=32,
+        log_step=100,
+        fastspeech2_optimizer=opt,
+        fastspeech2_loss=loss,
+    )
+    return cfg.replace(models=cfg.models.replace(fastspeech2=fs2), train=train)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--acoustic-steps", type=int, default=6000)
+    ap.add_argument("--vocoder-steps", type=int, default=4000)
+    ap.add_argument("--e2e-steps", type=int, default=0)
+    ap.add_argument("--sentences", type=int, default=300)
+    ap.add_argument("--corpus", default="/tmp/base_corpus")
+    ap.add_argument("--workdir", default="/tmp/base_work")
+    ap.add_argument("--bundle", default="/tmp/vie_base_bundle")
+    args = ap.parse_args(argv)
+
+    from e2e_tts_tpu.config import save_config
+    from e2e_tts_tpu.data.synthetic import make_synthetic_corpus
+    from e2e_tts_tpu.train.cli import main as cli
+
+    if not os.path.exists(os.path.join(args.corpus, "metadata.csv")):
+        t0 = time.time()
+        make_synthetic_corpus(args.corpus, n_sentences=args.sentences, seed=0)
+        print(f"[base] corpus ({args.sentences} sents x 2 spk) "
+              f"-> {args.corpus} in {time.time() - t0:.0f}s")
+
+    cfg = base_config()
+    os.makedirs(args.workdir, exist_ok=True)
+    cfg_path = os.path.join(args.workdir, "config.yaml")
+    save_config(cfg, cfg_path)
+    common = ["--workdir", args.workdir, "--config", cfg_path]
+
+    timings = {}
+    if not os.path.exists(os.path.join(args.workdir, "file_list.txt")):
+        t0 = time.time()
+        cli(["prepare", "--corpus", args.corpus] + common)
+        timings["prepare_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    cli(["acoustic"] + common + [
+        "--steps", str(args.acoustic_steps), "--ckpt-every", "2000"])
+    timings["acoustic_s"] = round(time.time() - t0, 1)
+    timings["acoustic_steps_per_s"] = round(
+        args.acoustic_steps / timings["acoustic_s"], 2
+    )
+
+    t0 = time.time()
+    cli(["vocoder"] + common + [
+        "--steps", str(args.vocoder_steps), "--ckpt-every", "2000"])
+    timings["vocoder_s"] = round(time.time() - t0, 1)
+    timings["vocoder_steps_per_s"] = round(
+        args.vocoder_steps / timings["vocoder_s"], 2
+    )
+
+    if args.e2e_steps:
+        t0 = time.time()
+        cli(["e2e"] + common + [
+            "--steps", str(args.e2e_steps), "--ckpt-every", "500",
+            "--adv-warmup", "500", "--am-lr-scale", "0.1",
+            "--d-lr-scale", "0.5"])
+        timings["e2e_s"] = round(time.time() - t0, 1)
+
+    cli(["export", "--output", args.bundle] + common)
+
+    from e2e_tts_tpu.serve import SynthesisEngine
+    from e2e_tts_tpu.utils.metrics import LearnedMosScorer
+
+    eng = SynthesisEngine.from_checkpoint(args.bundle)
+    scorer = LearnedMosScorer()
+    texts = [
+        "xin chào việt nam",
+        "hôm nay trời đẹp chúng ta đi dạo quanh hồ",
+        "em yêu hoa lá trên núi cao",
+    ]
+    scores = {}
+    for t in texts:
+        audio = eng.synthesize(t, speaker_id="nam", silence_distance=0.0)
+        scores[t] = round(
+            scorer(audio.astype(np.float32) / 32768.0, eng.sample_rate), 3
+        )
+    summary = {
+        "bundle": args.bundle,
+        "acoustic_params_M": 35,
+        "timings": timings,
+        "mos_proxy": scores,
+        "mos_mean": round(float(np.mean(list(scores.values()))), 3),
+    }
+    print("[base] " + json.dumps(summary, ensure_ascii=False))
+    with open(os.path.join(args.workdir, "summary.json"), "w") as f:
+        json.dump(summary, f, ensure_ascii=False, indent=1)
+
+
+if __name__ == "__main__":
+    main()
