@@ -76,6 +76,7 @@ class SynthesisEngine:
         serving_devices: Optional[int] = None,
         use_flash: Optional[bool] = None,
         transfer_codec: Optional[str] = None,
+        global_mesh: bool = False,
     ):
         from ..utils.compilation_cache import enable_persistent_cache
 
@@ -92,11 +93,26 @@ class SynthesisEngine:
         # bucketed programs serve 1 or N chips — XLA partitions them, no
         # per-device program copies.  serving_devices=None -> single device.
         self.serve_mesh = None
+        self._multihost = False
+        if global_mesh:
+            # Multi-host serving (ROADMAP item 1): the mesh spans every
+            # process's devices (a pod slice over ICI/DCN).  Each host runs
+            # the same SPMD synthesize() on the same request stream and
+            # contributes its local rows of the batch; outputs are
+            # replicated IN-PROGRAM (the all-gather a deploy needs anyway to
+            # hand audio back to the caller host), so the host-side drain is
+            # identical to single-host serving.  jax.distributed must be
+            # initialized first (parallel/distributed.py).
+            devs = list(jax.devices())
+            serving_devices = len(devs) if serving_devices is None else serving_devices
+            self._multihost = jax.process_count() > 1
+        else:
+            devs = list(jax.local_devices())
         if serving_devices is not None and serving_devices > 1:
-            devs = jax.local_devices()
             if serving_devices > len(devs):
                 raise ValueError(
-                    f"serving_devices={serving_devices} > {len(devs)} local"
+                    f"serving_devices={serving_devices} > {len(devs)} "
+                    f"{'global' if global_mesh else 'local'}"
                 )
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -169,6 +185,12 @@ class SynthesisEngine:
             use_folded_vocoder and vocoder_kind == "hifigan"
         )
 
+        if self._multihost:
+            # params become global replicated arrays once; per-batch inputs
+            # are globalized in _dispatch_all / the overflow path
+            self.acoustic_params = self._globalize_tree(self.acoustic_params)
+            self._voc_params = self._globalize_tree(self._voc_params)
+
         # D2H transfer codec: None ships int16; "mulaw8" ships uint8 mu-law
         # (G.711-style companding), halving the dominant serving cost on
         # tunnel-bound deploys (~38 dB SNR — opt in where the link, not the
@@ -205,19 +227,50 @@ class SynthesisEngine:
             return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
         return arr
 
+    # --- multi-host helpers -------------------------------------------------
+
+    def _put_global(self, arr, batched: bool):
+        """Host value -> global jax.Array on the multi-process mesh.
+        Batched: this process contributes its local rows (SPMD hosts each
+        build the same full batch and slice their share); replicated: every
+        process supplies the same full value."""
+        arr = np.asarray(arr)
+        sh = self._shard_bat if batched else self._shard_rep
+        if batched:
+            per = arr.shape[0] // jax.process_count()
+            lo = jax.process_index() * per
+            return jax.make_array_from_process_local_data(
+                sh, arr[lo : lo + per], arr.shape
+            )
+        return jax.make_array_from_process_local_data(sh, arr, arr.shape)
+
+    def _globalize_tree(self, tree):
+        return jax.tree.map(lambda a: self._put_global(a, False), tree)
+
+    def _controls(self, *vals):
+        """p/e/d control scalars as program inputs (globalized when the mesh
+        spans processes; plain floats otherwise)."""
+        if not self._multihost:
+            return vals
+        return tuple(self._put_global(np.float32(v), False) for v in vals)
+
     # --- program builders -------------------------------------------------
 
     def _serve_jit(self, fn, in_batched, out_batched):
         """jit with batch-axis sharding over the serving mesh (no-op mesh ->
         plain jit).  ``in_batched``/``out_batched``: bool per arg/output,
-        True = shard axis 0 over 'data', False = replicate."""
+        True = shard axis 0 over 'data', False = replicate.  On a
+        multi-process mesh outputs are replicated in-program: the trailing
+        all-gather is the collective a deploy needs anyway to return audio
+        to the caller host, and it keeps the host drain identical."""
         if self.serve_mesh is None:
             return jax.jit(fn)
         ins = tuple(
             self._shard_bat if b else self._shard_rep for b in in_batched
         )
         outs = tuple(
-            self._shard_bat if b else self._shard_rep for b in out_batched
+            self._shard_bat if (b and not self._multihost) else self._shard_rep
+            for b in out_batched
         )
         if len(outs) == 1:
             outs = outs[0]
@@ -407,9 +460,15 @@ class SynthesisEngine:
                     T_est = _mel_bucket(
                         int(FRAMES_PER_PHONEME_EST * L * max(d, 1.0))
                     )
+                    if self._multihost:
+                        speakers, texts, lens = (
+                            self._put_global(a, True)
+                            for a in (speakers, texts, lens)
+                        )
+                    pc, ec, dc = self._controls(p, e, d)
                     outs = self._fused(L, T_est)(
                         self.acoustic_params, self._voc_params,
-                        speakers, texts, lens, p, e, d,
+                        speakers, texts, lens, pc, ec, dc,
                     )
                     yield (batch_idx, L, T_est, outs)
 
@@ -424,6 +483,7 @@ class SynthesisEngine:
                     exhausted = True
             batch_idx, L, T_est, outs = pending.popleft()
             audio, mel_lens, total_dur, x, durations = outs
+            pc, ec = self._controls(p, e)
             total_np = np.asarray(total_dur)[: len(batch_idx)]
             max_total = int(total_np.max())
             if max_total <= T_est:
@@ -436,7 +496,7 @@ class SynthesisEngine:
             elif max_total <= MAX_MEL_LEN:
                 T = _mel_bucket(max_total)
                 audio, mel_lens = self._stage2(L, T)(
-                    self.acoustic_params, self._voc_params, x, durations, p, e
+                    self.acoustic_params, self._voc_params, x, durations, pc, ec
                 )
                 audio_np, mel_lens_np = jax.device_get(
                     (audio[:, : max_total * self.hop_length], mel_lens)
@@ -448,7 +508,7 @@ class SynthesisEngine:
                 # recursively; fitting rows still finish via stage 2.
                 T = _mel_bucket(min(max_total, MAX_MEL_LEN))
                 fit_audio, fit_lens = self._stage2(L, T)(
-                    self.acoustic_params, self._voc_params, x, durations, p, e
+                    self.acoustic_params, self._voc_params, x, durations, pc, ec
                 )
                 fit_audio_np = np.asarray(fit_audio)
                 fit_lens_np = np.asarray(fit_lens)
