@@ -3,13 +3,21 @@
 The reference serves one request at a time (reference: e2e_tts/src/api/
 utils.py:119-160 — a single TTS object, dynamic shapes, no batching across
 callers).  Here concurrent requests are packed into the engine's fixed-shape
-bucketed batches: a collector thread drains the queue for up to
+bucketed batches: a collector thread drains the lanes for up to
 ``max_wait_ms``, groups requests by their (pitch, energy, duration) control
 scalars (those are baked into the program as replicated scalars — different
 controls cannot share a dispatch), flattens every request's chunk sequences
 into one sequence list with per-row speaker ids, and runs the engine's
 batched two-stage pipeline once per group.  Requests resolve through
 ``concurrent.futures.Future``; a failed request fails only its own future.
+
+Priority lanes: ``submit(..., priority=N)`` (higher = more urgent, default
+0).  Each collection cycle fills the batch from the highest non-empty lane
+first, so interactive traffic jumps ahead of bulk jobs without separate
+server processes; dispatch groups run most-urgent first within the cycle.
+Starvation protection: a request that has waited longer than
+``age_promote_ms`` is served before any fresher request regardless of lane
+(bulk work is delayed, never parked).
 
 Combined with ``serving_devices=N`` (batch axis sharded over the device
 mesh, engine.py), this is the scale-out serving path: many callers, one
@@ -18,12 +26,12 @@ program, N chips.
 
 from __future__ import annotations
 
-import queue as _queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Deque, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -34,6 +42,8 @@ class _Request:
     speaker: int
     controls: Tuple[float, float, float]
     gap: int
+    priority: int = 0
+    t_enq: float = 0.0
     future: Future = field(default_factory=Future)
 
 
@@ -45,14 +55,19 @@ class BatchingServer:
         engine,
         max_wait_ms: float = 5.0,
         max_batch: Optional[int] = None,
+        age_promote_ms: float = 200.0,
     ):
         self.engine = engine
         self.max_wait = max_wait_ms / 1000.0
+        self.age_promote = age_promote_ms / 1000.0
         # cap the sequences collected per cycle; default 4 full batches
         self.max_batch = max_batch or 4 * engine.batch_size
-        self._q: "_queue.Queue[Optional[_Request]]" = _queue.Queue()
+        self._lanes: Dict[int, Deque[_Request]] = {}
+        self._pending = 0
+        self._cv = threading.Condition()
         self._closed = False
         self.n_cycles = 0  # dispatch cycles run (observability)
+        self.n_promoted = 0  # aged low-priority requests served early
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -66,6 +81,7 @@ class BatchingServer:
         energy_control: float = 1.0,
         duration_control: float = 1.0,
         silence_distance: float = 0.5,
+        priority: int = 0,
     ) -> Future:
         """Enqueue a request; resolves to the int16 waveform."""
         if self._closed:
@@ -77,6 +93,7 @@ class BatchingServer:
                 float(duration_control),
             ),
             gap=int(silence_distance * self.engine.sample_rate),
+            priority=int(priority),
         )
         try:
             # host-side text work happens on the caller's thread, so the
@@ -90,7 +107,11 @@ class BatchingServer:
         if not req.seqs:
             req.future.set_result(np.zeros(0, np.int16))
             return req.future
-        self._q.put(req)
+        with self._cv:
+            req.t_enq = time.monotonic()
+            self._lanes.setdefault(req.priority, deque()).append(req)
+            self._pending += 1
+            self._cv.notify()
         return req.future
 
     def synthesize(self, text, **kw) -> np.ndarray:
@@ -98,10 +119,13 @@ class BatchingServer:
         return self.submit(text, **kw).result()
 
     def close(self):
-        if not self._closed:
+        """Stop accepting requests; pending ones are still served."""
+        with self._cv:
+            if self._closed:
+                return
             self._closed = True
-            self._q.put(None)
-            self._thread.join()
+            self._cv.notify()
+        self._thread.join()
 
     def __enter__(self):
         return self
@@ -111,26 +135,50 @@ class BatchingServer:
 
     # --- collector ----------------------------------------------------------
 
+    def _pop_locked(self, now: float) -> _Request:
+        """Next request under _cv: oldest-if-aged, else highest lane FIFO."""
+        oldest = min(
+            (lane[0] for lane in self._lanes.values() if lane),
+            key=lambda r: r.t_enq,
+        )
+        if now - oldest.t_enq > self.age_promote:
+            req = oldest
+            top = max(p for p, lane in self._lanes.items() if lane)
+            if req.priority < top:
+                self.n_promoted += 1
+        else:
+            top = max(p for p, lane in self._lanes.items() if lane)
+            req = self._lanes[top][0]
+        self._lanes[req.priority].popleft()
+        self._pending -= 1
+        return req
+
     def _collect(self) -> List[_Request]:
-        """Block for the first request, then drain for up to max_wait."""
-        first = self._q.get()
-        if first is None:
-            return []
-        batch, n_seqs = [first], len(first.seqs)
-        deadline = time.monotonic() + self.max_wait
-        while n_seqs < self.max_batch:
-            timeout = deadline - time.monotonic()
-            if timeout <= 0:
-                break
-            try:
-                req = self._q.get(timeout=timeout)
-            except _queue.Empty:
-                break
-            if req is None:
-                self._q.put(None)  # keep the shutdown token
-                break
-            batch.append(req)
-            n_seqs += len(req.seqs)
+        """Block for the first request, then drain for up to max_wait,
+        taking from the highest-priority lane at every step."""
+        with self._cv:
+            while self._pending == 0:
+                if self._closed:
+                    return []
+                self._cv.wait()
+            now = time.monotonic()
+            batch = [self._pop_locked(now)]
+            n_seqs = len(batch[0].seqs)
+            deadline = now + self.max_wait
+            while n_seqs < self.max_batch:
+                if self._pending == 0:
+                    if self._closed:
+                        break
+                    timeout = deadline - time.monotonic()
+                    if timeout <= 0:
+                        break
+                    self._cv.wait(timeout=timeout)
+                    continue
+                if time.monotonic() >= deadline:
+                    break
+                req = self._pop_locked(time.monotonic())
+                batch.append(req)
+                n_seqs += len(req.seqs)
         return batch
 
     def _worker(self):
@@ -140,11 +188,15 @@ class BatchingServer:
                 return
             self.n_cycles += 1
             # group by control scalars (replicated jit scalars: one dispatch
-            # group per distinct (p, e, d))
-            groups = {}
+            # group per distinct (p, e, d)); dispatch most-urgent group first
+            groups: Dict[Tuple[float, float, float], List[_Request]] = {}
             for req in batch:
                 groups.setdefault(req.controls, []).append(req)
-            for (p, e, d), reqs in groups.items():
+            ordered = sorted(
+                groups.items(),
+                key=lambda kv: -max(r.priority for r in kv[1]),
+            )
+            for (p, e, d), reqs in ordered:
                 seqs, speakers, owners = [], [], []
                 for ri, req in enumerate(reqs):
                     seqs.extend(req.seqs)

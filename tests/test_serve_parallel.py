@@ -7,6 +7,7 @@ sharded via NamedSharding, requests from many callers packed per dispatch.
 """
 
 import threading
+import time
 
 import jax
 import numpy as np
@@ -129,3 +130,68 @@ def test_batching_server_bad_speaker_fails_only_that_request(single_engine):
         with pytest.raises(KeyError):
             bad.result(timeout=600)
         assert len(good.result(timeout=600)) > 0
+
+
+# --- priority lanes (fake engine: deterministic, no compiles) --------------
+
+
+class _FakeEngine:
+    """Engine stand-in recording dispatch order; requests are integer tags."""
+
+    batch_size = 4
+    sample_rate = 22050
+
+    def __init__(self, first_dispatch_sleep=0.0):
+        self.dispatches = []
+        self._sleep = first_dispatch_sleep
+        self.first_dispatch_entered = threading.Event()
+
+    def prepare_request(self, text, speaker_id):
+        return [np.array([int(text)], np.int32)], 0
+
+    def _synthesize_sequences(self, seqs, speakers, p, e, d):
+        self.dispatches.append([int(s[0]) for s in seqs])
+        if len(self.dispatches) == 1:
+            self.first_dispatch_entered.set()
+            time.sleep(self._sleep)
+        return [np.full(4, int(s[0]), np.int16) for s in seqs]
+
+    def _combine(self, parts, gap):
+        return np.concatenate(parts) if parts else np.zeros(0, np.int16)
+
+
+def test_priority_lane_jumps_queue():
+    """While the worker is busy, a high-priority submit overtakes earlier
+    low-priority requests in the next collection cycle."""
+    eng = _FakeEngine(first_dispatch_sleep=0.5)
+    with BatchingServer(eng, max_wait_ms=1.0, max_batch=2,
+                        age_promote_ms=60_000.0) as srv:
+        f1 = srv.submit("1", silence_distance=0.0)  # occupies the worker
+        assert eng.first_dispatch_entered.wait(timeout=10.0)
+        f2 = srv.submit("2", silence_distance=0.0)
+        f3 = srv.submit("3", silence_distance=0.0)
+        f4 = srv.submit("4", silence_distance=0.0, priority=5)
+        for f in (f1, f2, f3, f4):
+            f.result(timeout=60)
+    # cycle 2 serves the priority-5 request before the older tag-2/tag-3
+    assert eng.dispatches[0] == [1]
+    assert eng.dispatches[1][0] == 4, eng.dispatches
+
+
+def test_aged_request_is_promoted():
+    """age_promote_ms=0 degenerates to strict FIFO: an old low-priority
+    request is served before a fresher high-priority one, and the
+    promotion counter records it."""
+    eng = _FakeEngine(first_dispatch_sleep=0.5)
+    with BatchingServer(eng, max_wait_ms=1.0, max_batch=1,
+                        age_promote_ms=0.0) as srv:
+        f1 = srv.submit("1", silence_distance=0.0)
+        assert eng.first_dispatch_entered.wait(timeout=10.0)
+        f2 = srv.submit("2", silence_distance=0.0)
+        time.sleep(0.01)
+        f3 = srv.submit("3", silence_distance=0.0, priority=9)
+        for f in (f1, f2, f3):
+            f.result(timeout=60)
+    assert eng.dispatches[1] == [2], eng.dispatches
+    assert eng.dispatches[2] == [3], eng.dispatches
+    assert srv.n_promoted >= 1
