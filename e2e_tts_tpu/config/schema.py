@@ -244,6 +244,11 @@ class FastSpeech2Config(_Base):
     encoder_hidden: int = 384
     decoder_layers: int = 6
     decoder_hidden: int = 384
+    # rematerialize encoder/decoder layer activations in the backward pass
+    # (jax.checkpoint per layer): trades recompute FLOPs for HBM, enabling
+    # larger batches/sequences.  The reformer family always remats (its LSH
+    # design assumes it); the other four families honor this flag.
+    remat_blocks: bool = False
     building_block: BuildingBlockConfig = field(default_factory=BuildingBlockConfig)
     variance: VarianceConfig = field(default_factory=VarianceConfig)
     postnet: PostnetConfig = field(default_factory=PostnetConfig)

@@ -71,6 +71,7 @@ def _transformer_encoder(
         dropout=b.encoder_dropout,
         max_seq_len=cfg.max_seq_len,
         use_flash=use_flash,
+        remat=cfg.remat_blocks,
         dtype=dtype,
         name="encoder",
     )
@@ -89,6 +90,7 @@ def _transformer_decoder(cfg: FastSpeech2Config, dtype, use_flash: bool = False)
         dropout=b.decoder_dropout,
         max_seq_len=cfg.max_seq_len,
         use_flash=use_flash,
+        remat=cfg.remat_blocks,
         dtype=dtype,
         name="decoder",
     )
@@ -116,6 +118,7 @@ def _conformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
         dropout=b.encoder_dropout,
         max_seq_len=cfg.max_seq_len,
         mask_attention=b.mask_attention,
+        remat=cfg.remat_blocks,
         dtype=dtype,
         name="encoder",
     )
@@ -136,6 +139,7 @@ def _conformer_decoder(cfg: FastSpeech2Config, dtype):
         dropout=b.decoder_dropout,
         max_seq_len=cfg.max_seq_len,
         mask_attention=b.mask_attention,
+        remat=cfg.remat_blocks,
         dtype=dtype,
         name="decoder",
     )
@@ -166,6 +170,7 @@ def _fastformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
         kernel_sizes=tuple(b.conv_kernel_size),
         dropout=b.encoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        remat=cfg.remat_blocks,
         dtype=dtype,
         name="encoder",
     )
@@ -189,6 +194,7 @@ def _fastformer_decoder(cfg: FastSpeech2Config, dtype):
         kernel_sizes=tuple(b.conv_kernel_size),
         dropout=b.decoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        remat=cfg.remat_blocks,
         dtype=dtype,
         name="decoder",
     )
@@ -218,6 +224,7 @@ def _lst_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
         pre_zero=not b.reference_compat,
         rotary_interleaved=b.reference_compat,
         invert_mask=b.reference_compat,
+        remat=cfg.remat_blocks,
         dtype=dtype,
         name="encoder",
     )
@@ -240,6 +247,7 @@ def _lst_decoder(cfg: FastSpeech2Config, dtype):
         pre_zero=not b.reference_compat,
         rotary_interleaved=b.reference_compat,
         invert_mask=b.reference_compat,
+        remat=cfg.remat_blocks,
         dtype=dtype,
         name="decoder",
     )
@@ -264,6 +272,8 @@ def _reformer_encoder(cfg: FastSpeech2Config, n_symbols: int, dtype):
         n_hashes=b.n_hashes,
         dropout=b.encoder_dropout,
         max_seq_len=cfg.max_seq_len,
+        # reformer always remats per layer (see nn/reformer.py) — the
+        # remat_blocks flag is implicit here
         dtype=dtype,
         name="encoder",
     )

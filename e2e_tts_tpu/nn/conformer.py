@@ -164,6 +164,7 @@ class ConformerEncoder(nn.Module):
     dropout: float = 0.1
     max_seq_len: int = 1000
     mask_attention: bool = True
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -185,8 +186,12 @@ class ConformerEncoder(nn.Module):
             # at padded rows is emb+pos, zeroed only at block END), so
             # parity mode (mask_attention=False) skips this too.
             x = x * mask[..., None]
+        Block = (
+            nn.remat(ConformerBlock, static_argnums=(4,))
+            if self.remat else ConformerBlock
+        )
         for i in range(self.n_layers):
-            x = ConformerBlock(
+            x = Block(
                 self.d_model, self.n_head, self.ffn_expansion, self.conv_kernel,
                 self.conv_expansion, self.half_step_residual, self.dropout,
                 mask_attention=self.mask_attention, dtype=self.dtype,
@@ -206,6 +211,7 @@ class ConformerDecoder(nn.Module):
     dropout: float = 0.1
     max_seq_len: int = 1000
     mask_attention: bool = True
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -215,8 +221,12 @@ class ConformerDecoder(nn.Module):
         x = x.astype(self.dtype) + pos[None, :T]
         if self.mask_attention:
             x = x * mask[..., None]  # see encoder note: reference skips this
+        Block = (
+            nn.remat(ConformerBlock, static_argnums=(4,))
+            if self.remat else ConformerBlock
+        )
         for i in range(self.n_layers):
-            x = ConformerBlock(
+            x = Block(
                 self.d_model, self.n_head, self.ffn_expansion, self.conv_kernel,
                 self.conv_expansion, self.half_step_residual, self.dropout,
                 mask_attention=self.mask_attention, dtype=self.dtype,

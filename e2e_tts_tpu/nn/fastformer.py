@@ -80,6 +80,19 @@ class _ConvFFN(nn.Module):
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
 
+def _stack_layer(mdl, x, mask, i, deterministic):
+    """One pre-norm attention+FFN layer — a free function so nn.remat can
+    wrap it (recompute-in-backward) without disturbing parameter names."""
+    h = mdl.attn_norms[i](x)
+    x = x + mdl.attns[i](
+        h, mask, mdl.to_q_attn_logits, mdl.to_k_attn_logits, deterministic
+    )
+    x = x * mask[..., None]
+    h = mdl.ff_norms[i](x)
+    x = x + mdl.ffs[i](h, deterministic)
+    return x * mask[..., None]
+
+
 class FastformerStack(nn.Module):
     n_layers: int
     d_model: int
@@ -88,6 +101,7 @@ class FastformerStack(nn.Module):
     kernel_sizes: Tuple[int, int] = (9, 1)
     dropout: float = 0.2
     invert_mask: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -118,15 +132,12 @@ class FastformerStack(nn.Module):
         ]
 
     def __call__(self, x, mask, deterministic: bool = True):
+        layer = (
+            nn.remat(_stack_layer, static_argnums=(3, 4))
+            if self.remat else _stack_layer
+        )
         for i in range(self.n_layers):
-            h = self.attn_norms[i](x)
-            x = x + self.attns[i](
-                h, mask, self.to_q_attn_logits, self.to_k_attn_logits, deterministic
-            )
-            x = x * mask[..., None]
-            h = self.ff_norms[i](x)
-            x = x + self.ffs[i](h, deterministic)
-            x = x * mask[..., None]
+            x = layer(self, x, mask, i, deterministic)
         return x
 
 
@@ -145,6 +156,7 @@ class FastformerEncoder(nn.Module):
     # reproduces that for checkpoint migration
     pre_zero: bool = True
     invert_mask: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -162,8 +174,8 @@ class FastformerEncoder(nn.Module):
             x = x * mask[..., None]
         x = FastformerStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
-            self.kernel_sizes, self.dropout, self.invert_mask, self.dtype,
-            name="stack",
+            self.kernel_sizes, self.dropout, self.invert_mask,
+            remat=self.remat, dtype=self.dtype, name="stack",
         )(x, mask, deterministic)
         return x, emb
 
@@ -178,6 +190,7 @@ class FastformerDecoder(nn.Module):
     max_seq_len: int = 1000
     pre_zero: bool = True  # see FastformerEncoder note
     invert_mask: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -189,7 +202,7 @@ class FastformerDecoder(nn.Module):
             x = x * mask[..., None]
         x = FastformerStack(
             self.n_layers, self.d_model, self.n_head, self.d_inner,
-            self.kernel_sizes, self.dropout, self.invert_mask, self.dtype,
-            name="stack",
+            self.kernel_sizes, self.dropout, self.invert_mask,
+            remat=self.remat, dtype=self.dtype, name="stack",
         )(x, mask, deterministic)
         return x, mask

@@ -186,6 +186,24 @@ class _ConvFFN(nn.Module):
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
 
+def _stack_layer(mdl, x, mask, i, deterministic):
+    """One pre-norm long-short layer — a free function so nn.remat can wrap
+    it (recompute-in-backward) without disturbing parameter names."""
+    h = nn.LayerNorm(epsilon=1e-5, dtype=mdl.dtype, name=f"attn_norm_{i}")(x)
+    x = x + LongShortAttention(
+        mdl.d_model, mdl.n_head, mdl.window_size, mdl.segment_size,
+        mdl.r, True, mdl.dropout, mdl.rotary_interleaved,
+        mdl.invert_mask, mdl.dtype, name=f"attn_{i}",
+    )(h, mask, deterministic)
+    x = x * mask[..., None]
+    h = nn.LayerNorm(epsilon=1e-5, dtype=mdl.dtype, name=f"ff_norm_{i}")(x)
+    x = x + _ConvFFN(
+        mdl.d_model, mdl.d_inner, mdl.kernel_sizes, mdl.dropout,
+        mdl.dtype, name=f"ff_{i}",
+    )(h, deterministic)
+    return x * mask[..., None]
+
+
 class LSTransformerStack(nn.Module):
     n_layers: int
     d_model: int
@@ -198,24 +216,17 @@ class LSTransformerStack(nn.Module):
     dropout: float = 0.2
     rotary_interleaved: bool = False
     invert_mask: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        layer = (
+            nn.remat(_stack_layer, static_argnums=(3, 4))
+            if self.remat else _stack_layer
+        )
         for i in range(self.n_layers):
-            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_norm_{i}")(x)
-            x = x + LongShortAttention(
-                self.d_model, self.n_head, self.window_size, self.segment_size,
-                self.r, True, self.dropout, self.rotary_interleaved,
-                self.invert_mask, self.dtype, name=f"attn_{i}",
-            )(h, mask, deterministic)
-            x = x * mask[..., None]
-            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ff_norm_{i}")(x)
-            x = x + _ConvFFN(
-                self.d_model, self.d_inner, self.kernel_sizes, self.dropout,
-                self.dtype, name=f"ff_{i}",
-            )(h, deterministic)
-            x = x * mask[..., None]
+            x = layer(self, x, mask, i, deterministic)
         return x
 
 
@@ -236,6 +247,7 @@ class LSTransformerEncoder(nn.Module):
     pre_zero: bool = True
     rotary_interleaved: bool = False
     invert_mask: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -255,7 +267,7 @@ class LSTransformerEncoder(nn.Module):
             self.n_layers, self.d_model, self.n_head, self.d_inner,
             self.kernel_sizes, self.window_size, self.segment_size, self.r,
             self.dropout, self.rotary_interleaved, self.invert_mask,
-            self.dtype, name="stack",
+            remat=self.remat, dtype=self.dtype, name="stack",
         )(x, mask, deterministic)
         return x, emb
 
@@ -274,6 +286,7 @@ class LSTransformerDecoder(nn.Module):
     pre_zero: bool = True  # see LSTransformerEncoder note
     rotary_interleaved: bool = False
     invert_mask: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -287,6 +300,6 @@ class LSTransformerDecoder(nn.Module):
             self.n_layers, self.d_model, self.n_head, self.d_inner,
             self.kernel_sizes, self.window_size, self.segment_size, self.r,
             self.dropout, self.rotary_interleaved, self.invert_mask,
-            self.dtype, name="stack",
+            remat=self.remat, dtype=self.dtype, name="stack",
         )(x, mask, deterministic)
         return x, mask

@@ -107,6 +107,7 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     max_seq_len: int = 1000
     use_flash: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -121,8 +122,11 @@ class TransformerEncoder(nn.Module):
         pos = jnp.asarray(sinusoid_table(max(T, 1), self.d_model), self.dtype)
         x = emb + pos[None, :T]
         x = x * mask[..., None]
+        # remat: recompute layer activations in backward (jax.checkpoint via
+        # nn.remat) — trades FLOPs for HBM at training time, same math
+        Block = nn.remat(FFTBlock, static_argnums=(3,)) if self.remat else FFTBlock
         for i in range(self.n_layers):
-            x = FFTBlock(
+            x = Block(
                 self.d_model, self.n_head, self.d_inner, self.kernel_sizes,
                 self.dropout, self.use_flash, self.dtype, name=f"layer_{i}",
             )(x, mask, deterministic)
@@ -140,6 +144,7 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     max_seq_len: int = 1000
     use_flash: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -148,8 +153,9 @@ class TransformerDecoder(nn.Module):
         pos = jnp.asarray(sinusoid_table(max(T, 1), self.d_model), self.dtype)
         x = x.astype(self.dtype) + pos[None, :T]
         x = x * mask[..., None]
+        Block = nn.remat(FFTBlock, static_argnums=(3,)) if self.remat else FFTBlock
         for i in range(self.n_layers):
-            x = FFTBlock(
+            x = Block(
                 self.d_model, self.n_head, self.d_inner, self.kernel_sizes,
                 self.dropout, self.use_flash, self.dtype, name=f"layer_{i}",
             )(x, mask, deterministic)

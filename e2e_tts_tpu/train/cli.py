@@ -582,19 +582,28 @@ def cmd_e2e(args):
     step = int(state.step)
     epoch = 0
     t0 = time.time()
+    from ..utils.prefetch import prefetch_iterator
+
+    def host_batches(ep):
+        """Host-side assembly (feature loads, padding, wav gather) — runs in
+        the prefetch worker thread so it overlaps the device step, like the
+        acoustic/vocoder loops."""
+        for batch, paths in make_acoustic_batches(
+            dataset, config.train.batch_size, seed=config.train.seed + ep,
+            with_paths=True,
+        ):
+            T = batch.mel.shape[1]
+            audio = np.zeros((batch.mel.shape[0], T * hop), np.float32)
+            for row, p in enumerate(paths):
+                if p not in wav_by_path:
+                    wav_by_path[p], _ = read_wav(p)
+                w = wav_by_path[p][: T * hop]
+                audio[row, : len(w)] = w
+            yield batch, audio
+
     with mesh:
         while step < args.steps:
-            for batch, paths in make_acoustic_batches(
-                dataset, config.train.batch_size, seed=config.train.seed + epoch,
-                with_paths=True,
-            ):
-                T = batch.mel.shape[1]
-                audio = np.zeros((batch.mel.shape[0], T * hop), np.float32)
-                for row, p in enumerate(paths):
-                    if p not in wav_by_path:
-                        wav_by_path[p], _ = read_wav(p)
-                    w = wav_by_path[p][: T * hop]
-                    audio[row, : len(w)] = w
+            for batch, audio in prefetch_iterator(host_batches(epoch)):
                 eb = E2EBatch(
                     acoustic=jax.tree_util.tree_map(jnp.asarray, batch),
                     audio=jnp.asarray(audio),

@@ -199,3 +199,61 @@ def test_fastformer_weight_tying():
     # shared q/k logit projections live at the stack level, once
     assert "to_q_attn_logits" in vs["params"]
     assert "to_q_attn_logits" not in vs["params"].get("attn_0", {})
+
+
+@pytest.mark.parametrize(
+    "family", ["transformer", "conformer", "fastformer", "lstransformer"]
+)
+def test_remat_same_math_and_params(family):
+    """remat_blocks=True must be numerically transparent: identical param
+    trees, identical forward outputs, identical gradients — only the
+    backward-pass memory schedule changes (jax.checkpoint per layer)."""
+    from e2e_tts_tpu.models.blocks import build_decoder, build_encoder
+
+    fs2 = _cfg(family)
+    B, T = 2, 33
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 1, 20)
+    mask = jnp.arange(T)[None, :] < jnp.array([[T], [T - 9]])
+
+    outs, grads, trees = [], [], []
+    for remat in (False, True):
+        enc = build_encoder(fs2.replace(remat_blocks=remat), n_symbols=40)
+        vs = enc.init({"params": jax.random.PRNGKey(0)}, ids, mask)
+        trees.append(jax.tree_util.tree_structure(vs))
+        extra = {k: v for k, v in vs.items() if k != "params"}
+
+        def loss(params):
+            x, _ = enc.apply({"params": params, **extra}, ids, mask)
+            return (x * mask[..., None]).sum()
+
+        outs.append(enc.apply(vs, ids, mask)[0])
+        grads.append(jax.grad(loss)(vs["params"]))
+
+    assert trees[0] == trees[1]
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+    # remat must actually be IN the computation (a silent no-op would pass
+    # the numerics check): the grad jaxpr contains checkpoint regions
+    enc_r = build_encoder(fs2.replace(remat_blocks=True), n_symbols=40)
+    vs_r = enc_r.init({"params": jax.random.PRNGKey(0)}, ids, mask)
+    extra_r = {k: v for k, v in vs_r.items() if k != "params"}
+
+    def loss_r(params):
+        x, _ = enc_r.apply({"params": params, **extra_r}, ids, mask)
+        return (x * mask[..., None]).sum()
+
+    jaxpr = str(jax.make_jaxpr(jax.grad(loss_r))(vs_r["params"]))
+    assert "remat" in jaxpr, f"{family}: remat_blocks=True produced no remat"
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), *grads
+    )
+
+    # decoder path too (smoke: builds + same output under remat)
+    dec_a = build_decoder(fs2.replace(remat_blocks=False))
+    dec_b = build_decoder(fs2.replace(remat_blocks=True))
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, T, fs2.decoder_hidden))
+    vd = dec_a.init({"params": jax.random.PRNGKey(0)}, x, mask)
+    ya = dec_a.apply(vd, x, mask)[0]
+    yb = dec_b.apply(vd, x, mask)[0]
+    np.testing.assert_allclose(ya, yb, atol=1e-6)
