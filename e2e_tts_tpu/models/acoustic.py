@@ -12,6 +12,8 @@ imports); every block family shares the (x, mask) -> x contract.
 
 from __future__ import annotations
 
+from contextlib import nullcontext
+
 import os
 
 from typing import Any
@@ -72,18 +74,10 @@ def cpu_rng_keys(seed: int, num: int = 1):
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    ctx = jax.default_device(cpu) if cpu is not None else nullcontext()
     with ctx:
         key = jax.random.PRNGKey(seed)
         return key if num == 1 else tuple(jax.random.split(key, num))
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *exc):
-        return False
 
 
 def init_acoustic_variables(

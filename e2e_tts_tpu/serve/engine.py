@@ -104,7 +104,15 @@ class SynthesisEngine:
             # identical to single-host serving.  jax.distributed must be
             # initialized first (parallel/distributed.py).
             devs = list(jax.devices())
-            serving_devices = len(devs) if serving_devices is None else serving_devices
+            if serving_devices not in (None, len(devs)):
+                # a partial global mesh would hold only process 0's devices
+                # (other processes could not address it), and a 1-device
+                # "global mesh" would skip the sharding setup entirely
+                raise ValueError(
+                    f"global_mesh=True requires serving_devices=None or "
+                    f"{len(devs)} (all devices); got {serving_devices}"
+                )
+            serving_devices = len(devs)
             self._multihost = jax.process_count() > 1
         else:
             devs = list(jax.local_devices())
@@ -438,6 +446,10 @@ class SynthesisEngine:
         # The depth bound caps in-flight device memory for book-length input.
         from collections import deque
 
+        # controls are constant per request — globalize them once, not per
+        # dispatched/drained batch (each _put_global is a host->device put)
+        pc, ec, dc = self._controls(p, e, d)
+
         def _dispatch_all():
             for L, idxs in groups.items():
                 for s in range(0, len(idxs), self.batch_size):
@@ -465,7 +477,6 @@ class SynthesisEngine:
                             self._put_global(a, True)
                             for a in (speakers, texts, lens)
                         )
-                    pc, ec, dc = self._controls(p, e, d)
                     outs = self._fused(L, T_est)(
                         self.acoustic_params, self._voc_params,
                         speakers, texts, lens, pc, ec, dc,
@@ -483,7 +494,6 @@ class SynthesisEngine:
                     exhausted = True
             batch_idx, L, T_est, outs = pending.popleft()
             audio, mel_lens, total_dur, x, durations = outs
-            pc, ec = self._controls(p, e)
             total_np = np.asarray(total_dur)[: len(batch_idx)]
             max_total = int(total_np.max())
             if max_total <= T_est:
@@ -618,7 +628,7 @@ class SynthesisEngine:
         serving mel buckets so programs are reused."""
         T = int(mel.shape[0])
         if T == 0:
-            return np.zeros((0, 0), np.float32)
+            return np.zeros((0, self.acoustic.n_symbols), np.float32)
         Tb = _mel_bucket(T)
         pad = np.zeros((Tb, mel.shape[1]), np.float32)
         pad[:T] = mel

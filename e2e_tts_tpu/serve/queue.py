@@ -108,6 +108,13 @@ class BatchingServer:
             req.future.set_result(np.zeros(0, np.int16))
             return req.future
         with self._cv:
+            if self._closed:
+                # close() may have won the race while prepare_request ran;
+                # enqueueing now would strand the future (worker is gone)
+                req.future.set_exception(
+                    RuntimeError("BatchingServer is closed")
+                )
+                return req.future
             req.t_enq = time.monotonic()
             self._lanes.setdefault(req.priority, deque()).append(req)
             self._pending += 1
@@ -149,7 +156,11 @@ class BatchingServer:
         else:
             top = max(p for p, lane in self._lanes.items() if lane)
             req = self._lanes[top][0]
-        self._lanes[req.priority].popleft()
+        lane = self._lanes[req.priority]
+        lane.popleft()
+        if not lane:
+            # drop empty lanes so the min/max scans stay O(live priorities)
+            del self._lanes[req.priority]
         self._pending -= 1
         return req
 

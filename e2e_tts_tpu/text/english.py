@@ -138,12 +138,17 @@ def _inflected_phones(word: str) -> Optional[List[str]]:
         return None  # plain lookup handles it
 
     # possessives / contractions of 's
-    if word.endswith("'s") or word.endswith("s'"):
-        base = word[:-2] if word.endswith("'s") else word[:-1]
+    if word.endswith("'s"):
+        base = word[:-2]
         phones = _lemma_phones(base) or _inflected_phones(base)
         if phones:
             return phones + _plural_suffix(phones)
         return None
+    if word.endswith("s'"):
+        # plural possessive: the base ("dogs") already carries its /z/ —
+        # the apostrophe adds nothing phonetically
+        base = word[:-1]
+        return _lemma_phones(base) or _inflected_phones(base)
 
     # -ies / -ied: "cities" -> city + Z, "carried" -> carry + D
     if word.endswith("ies") or word.endswith("ied"):

@@ -221,7 +221,11 @@ def _is_roman(tok: str, prev: str) -> bool:
 
 def _read_amount(num: str) -> str:
     """Read a numeric amount that may carry '.'-thousands separators and a
-    ','-decimal part ("1.500.000", "2,5", "1.234,56")."""
+    ','-decimal part ("1.500.000", "2,5", "1.234,56").  A lone '.' with 1-2
+    trailing digits cannot be a VN thousands group, so "2.5" is the US-style
+    decimal (common in dollar amounts) — "1.500" remains 1500."""
+    if re.match(r"^\d+\.\d{1,2}$", num):
+        return decimal_to_words(num)
     num = num.replace(".", "")
     if "," in num:
         return decimal_to_words(num)

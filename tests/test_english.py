@@ -243,3 +243,14 @@ def test_router_unknown_language_raises(tmp_path):
     )
     with pytest.raises(ValueError):
         router.synthesis("hello", language="xyz")
+
+
+def test_plural_possessive_adds_no_extra_suffix():
+    """dogs' is pronounced exactly like dogs — the apostrophe is silent
+    (regression: the s' branch used to append a second /z/)."""
+    from e2e_tts_tpu.text.english import word_to_phonemes
+
+    assert word_to_phonemes("dogs'") == word_to_phonemes("dogs")
+    assert word_to_phonemes("cats'") == word_to_phonemes("cats")
+    # singular possessive still voices the clitic
+    assert word_to_phonemes("dog's") == word_to_phonemes("dogs")

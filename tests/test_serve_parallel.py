@@ -195,3 +195,9 @@ def test_aged_request_is_promoted():
     assert eng.dispatches[1] == [2], eng.dispatches
     assert eng.dispatches[2] == [3], eng.dispatches
     assert srv.n_promoted >= 1
+    # lanes are garbage-collected once drained (no unbounded growth for
+    # callers that mint novel priority values), and a post-close submit
+    # fails its future instead of stranding it
+    assert not srv._lanes
+    with pytest.raises(RuntimeError):
+        srv.submit("9", silence_distance=0.0)

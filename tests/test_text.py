@@ -290,3 +290,13 @@ def test_all_lexicon_phonemes_encodable():
         ph = [p.upper() for p in syllable_to_phonemes(w)]
         ids = phonemes_to_sequence(ph)
         assert all(0 <= i < len(symbols) for i in ids)
+
+
+def test_dollar_decimal_amounts():
+    """US-style point-decimals in dollar amounts read as decimals, not as
+    a (invalid) thousands grouping: $2.5 is 'hai phẩy năm', not 25."""
+    assert normalize_text("giá 2.5$") == "giá hai phẩy năm đô la"
+    assert normalize_text("$2.5") == "hai phẩy năm đô la"
+    # genuine VN thousands groups keep their meaning
+    assert normalize_text("1.500$") == "một nghìn năm trăm đô la"
+    assert "phẩy" not in normalize_text("1.500.000đ")
