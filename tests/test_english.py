@@ -119,8 +119,10 @@ def test_morphology_derives_inflections():
 def test_lts_heldout_accuracy():
     """Documented LTS quality number (VERDICT r2 item 3): the rules never
     see the lexicon, so the full lexicon is a held-out set — and a hard one
-    (it includes the irregular core vocabulary).  Measured 2026-08-17:
-    word-exact 46.4%, phoneme error rate 21.4% over 1,583 words."""
+    (it includes the irregular core vocabulary).  Measured 2026-08-17
+    after the round-3 rule expansion (schwa suffixes/prefixes, -Vse$
+    voicing, soft-ce silent e, r-colored contexts): word-exact 54.7%,
+    phoneme error rate 17.3% over 1,583 words (was 46.4% / 21.4%)."""
     import difflib
 
     from e2e_tts_tpu.text.english import _LEXICON
@@ -140,8 +142,8 @@ def test_lts_heldout_accuracy():
         )
         phone_tot += len(gold)
     assert n >= 1500
-    assert word_ok / n >= 0.40, f"LTS word accuracy regressed: {word_ok / n:.3f}"
-    assert phone_err / phone_tot <= 0.25, (
+    assert word_ok / n >= 0.50, f"LTS word accuracy regressed: {word_ok / n:.3f}"
+    assert phone_err / phone_tot <= 0.20, (
         f"LTS phoneme error rate regressed: {phone_err / phone_tot:.3f}"
     )
 
