@@ -132,6 +132,118 @@ def yin_f0(
     return f0
 
 
+def ac_f0(
+    audio: np.ndarray,
+    sample_rate: int,
+    hop_length: int,
+    fmin: float = 80.0,
+    fmax: float = 750.0,
+    voicing_threshold: float = 0.45,
+    silence_threshold: float = 0.03,
+    octave_cost: float = 0.01,
+    jump_cost: float = 0.35,
+    vuv_cost: float = 0.14,
+    n_candidates: int = 4,
+) -> np.ndarray:
+    """Autocorrelation pitch in the style of Praat's AC method (Boersma
+    1993): window-normalized autocorrelation -> per-frame pitch candidates
+    with strengths -> Viterbi path with octave-jump and voicing-transition
+    costs.  Returns f0 per hop frame, 0 = unvoiced.
+
+    This is an in-framework *algorithmic* stand-in for the reference's
+    parselmouth ``to_pitch_ac`` (reference src/tools/utils.py:46-78) when
+    the library is absent — same method family, NOT bit-compatible (exact
+    parity still requires parselmouth; see the module caveat above).
+    """
+    audio = np.asarray(audio, np.float64)
+    # Boersma's AC window: 3 periods of the pitch floor, Hann-tapered
+    N = int(3.0 * sample_rate / fmin)
+    N += N % 2
+    pad = N // 2
+    x = np.pad(audio, (pad, pad))
+    n_frames = 1 + (len(x) - N) // hop_length
+    if n_frames <= 0:
+        return np.zeros(0)
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(N)[None, :]
+    frames = x[idx] - x[idx].mean(axis=1, keepdims=True)
+
+    glob_peak = np.abs(audio).max() + 1e-12
+    local_peak = np.abs(frames).max(axis=1)
+
+    lag_min = max(2, int(sample_rate / fmax))
+    lag_max = min(N // 2, int(np.ceil(sample_rate / fmin)))
+
+    # normalized autocorrelation of the windowed frame, divided by the
+    # window's own autocorrelation (Boersma's r_x ~= r_xw / r_w trick)
+    w = np.hanning(N)
+    nfft = 1 << int(np.ceil(np.log2(2 * N)))
+    fw = np.fft.rfft(frames * w, nfft, axis=1)
+    r = np.fft.irfft(np.abs(fw) ** 2, nfft, axis=1)[:, : lag_max + 2]
+    r /= np.maximum(r[:, :1], 1e-12)
+    rw = np.fft.irfft(np.abs(np.fft.rfft(w, nfft)) ** 2, nfft)[: lag_max + 2]
+    rw /= max(rw[0], 1e-12)
+    rn = r / np.maximum(rw[None, :], 1e-3)
+
+    # per-frame candidates: local maxima of rn in the lag range, parabolic
+    # refinement, strength penalized slightly toward higher pitch to
+    # counter AC's octave-down bias
+    lags = np.arange(lag_min, lag_max)
+    mid = rn[:, lag_min:lag_max]
+    is_peak = (mid >= rn[:, lag_min - 1 : lag_max - 1]) & (
+        mid > rn[:, lag_min + 1 : lag_max + 1]
+    )
+    cand_f = np.zeros((n_frames, n_candidates))  # 0 = the unvoiced slot
+    cand_s = np.full((n_frames, n_candidates + 1), -np.inf)
+    for t in range(n_frames):
+        peaks = lags[is_peak[t]]
+        if len(peaks):
+            strengths = rn[t, peaks] - octave_cost * np.log2(peaks / lag_min)
+            top = peaks[np.argsort(strengths)[::-1][:n_candidates]]
+            for k, lag in enumerate(top):
+                s0, s1, s2 = rn[t, lag - 1], rn[t, lag], rn[t, lag + 1]
+                den = 2 * (2 * s1 - s0 - s2)
+                shift = (s2 - s0) / den if abs(den) > 1e-12 else 0.0
+                lag_ref = lag + np.clip(shift, -1, 1)
+                cand_f[t, k] = sample_rate / lag_ref
+                cand_s[t, k] = min(rn[t, lag], 1.0) - octave_cost * np.log2(
+                    lag_ref / lag_min
+                )
+        # unvoiced candidate (Praat's silence/voicing tradeoff)
+        rel = local_peak[t] / glob_peak
+        cand_s[t, n_candidates] = voicing_threshold + max(
+            0.0, 2.0 - rel / (silence_threshold / (1.0 + voicing_threshold))
+        ) * 0.5
+    cand_f = np.concatenate([cand_f, np.zeros((n_frames, 1))], axis=1)
+
+    # Viterbi over (n_candidates + 1) states per frame
+    K = n_candidates + 1
+    score = cand_s[0].copy()
+    back = np.zeros((n_frames, K), np.int64)
+    for t in range(1, n_frames):
+        f_prev, f_cur = cand_f[t - 1], cand_f[t]
+        trans = np.zeros((K, K))
+        for j in range(K):
+            for k in range(K):
+                pv, cv = f_prev[j] > 0, f_cur[k] > 0
+                if pv and cv:
+                    trans[j, k] = jump_cost * abs(
+                        np.log2(f_prev[j] / f_cur[k])
+                    )
+                elif pv != cv:
+                    trans[j, k] = vuv_cost
+        total = score[:, None] - trans
+        back[t] = np.argmax(total, axis=0)
+        score = total[back[t], np.arange(K)] + cand_s[t]
+
+    path = np.zeros(n_frames, np.int64)
+    path[-1] = int(np.argmax(score))
+    for t in range(n_frames - 1, 0, -1):
+        path[t - 1] = back[t, path[t]]
+    f0 = cand_f[np.arange(n_frames), path]
+    f0[(f0 < fmin) | (f0 > fmax)] = 0.0
+    return f0
+
+
 def _praat_f0(
     wav_data: np.ndarray, mel_len: int, sample_rate: int, hop_length: int
 ):
@@ -190,7 +302,9 @@ def extract_f0(
 
     backend: "auto" uses Praat when parselmouth is importable (numeric
     parity with reference-trained checkpoints) and falls back to YIN;
-    "praat" requires parselmouth; "yin" forces the built-in estimator.
+    "praat" requires parselmouth; "yin" forces the built-in estimator;
+    "ac" forces the in-framework Boersma-style autocorrelation tracker
+    (same method family as Praat's, library-free, not bit-compatible).
     """
     f0 = None
     if backend in ("auto", "praat"):
@@ -198,7 +312,8 @@ def extract_f0(
         if f0 is None and backend == "praat":
             raise ImportError("backend='praat' requires parselmouth")
     if f0 is None:
-        f0 = yin_f0(wav_data, sample_rate, hop_length, fmin=80.0, fmax=750.0)
+        est = ac_f0 if backend == "ac" else yin_f0
+        f0 = est(wav_data, sample_rate, hop_length, fmin=80.0, fmax=750.0)
         if len(f0) >= mel_len:
             f0 = f0[:mel_len]
         else:

@@ -256,3 +256,58 @@ def test_mel_filterbank_properties():
     assert fb.shape == (80, 513)
     assert (fb >= 0).all()
     assert (fb.sum(axis=1) > 0).all()
+
+
+def test_ac_f0_tracks_vibrato_harmonics():
+    """The Boersma-style AC tracker (library-free stand-in for the
+    reference's parselmouth to_pitch_ac, utils.py:46-78) recovers a
+    vibrato harmonic series to <0.5% and rejects noise/silence."""
+    from e2e_tts_tpu.audio.features import ac_f0
+
+    sr, hop = 22050, 256
+    t = np.arange(int(sr * 1.5)) / sr
+    f0_true = 120.0 * (1 + 0.05 * np.sin(2 * np.pi * 4 * t))
+    phase = 2 * np.pi * np.cumsum(f0_true) / sr
+    sig = sum(0.5 / k * np.sin(k * phase) for k in range(1, 6))
+
+    f0 = ac_f0(np.asarray(sig), sr, hop)
+    tf = np.arange(len(f0)) * hop / sr
+    true_at = 120.0 * (1 + 0.05 * np.sin(2 * np.pi * 4 * tf))
+    voiced = f0 > 0
+    assert voiced.mean() > 0.9
+    err = np.abs(f0[voiced] - true_at[voiced]) / true_at[voiced]
+    assert np.median(err) < 0.005, np.median(err)
+
+    rng = np.random.RandomState(0)
+    assert (ac_f0(0.1 * rng.randn(sr), sr, hop) > 0).mean() < 0.2
+    assert (ac_f0(np.zeros(sr), sr, hop) == 0).all()
+
+
+def test_ac_f0_survives_missing_fundamental():
+    """Octave robustness: energy concentrated in harmonics 2-5 (weak
+    fundamental) must not pull the tracker an octave up or down."""
+    from e2e_tts_tpu.audio.features import ac_f0
+
+    sr, hop, f = 22050, 256, 150.0
+    t = np.arange(sr) / sr
+    sig = sum(
+        a * np.sin(2 * np.pi * k * f * t)
+        for k, a in ((1, 0.05), (2, 0.5), (3, 0.4), (4, 0.3), (5, 0.2))
+    )
+    f0 = ac_f0(np.asarray(sig), sr, hop)
+    voiced = f0 > 0
+    assert voiced.mean() > 0.9
+    ratio = np.abs(np.log2(f0[voiced] / f))
+    assert np.median(ratio) < 0.05, np.median(ratio)
+
+
+def test_extract_f0_ac_backend_contract():
+    """backend='ac' honors the mel_len alignment contract like 'yin'."""
+    from e2e_tts_tpu.audio.features import extract_f0
+
+    sr, hop, mel_len = 22050, 256, 60
+    t = np.arange(sr) / sr
+    sig = np.sin(2 * np.pi * 140.0 * t)
+    f0 = extract_f0(sig, mel_len, sr, hop, backend="ac")
+    assert len(f0) == mel_len
+    assert (f0[f0 > 0] > 100).all() and (f0[f0 > 0] < 200).all()
