@@ -140,7 +140,14 @@ def inverse_stft(
     center=True (reference: src/tools/stft.py:91-101, 138-148); used by the
     iSTFTNet vocoder head.  magnitude/phase: (..., n_bins, n_frames).
     """
+    assert win_length <= n_fft, (win_length, n_fft)
     window = jnp.asarray(hann_window(win_length))
+    if win_length < n_fft:
+        # torch.istft center-pads a short window to n_fft (the forward
+        # _basis does the same) — without this the n_fft-long irfft frames
+        # and the OLA envelope would mix mismatched lengths
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     spec = magnitude * jnp.exp(1j * phase)
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
     frames = frames * window

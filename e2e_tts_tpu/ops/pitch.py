@@ -25,5 +25,7 @@ def f0_to_coarse(f0: jnp.ndarray) -> jnp.ndarray:
 
 
 def bucketize(x: jnp.ndarray, boundaries: jnp.ndarray) -> jnp.ndarray:
-    """torch.bucketize equivalent: index of the first boundary > x."""
-    return jnp.searchsorted(boundaries, x, side="right").astype(jnp.int32)
+    """torch.bucketize (right=False) equivalent: number of boundaries
+    strictly below x — a value exactly ON a boundary belongs to the LOWER
+    bin (side="left"), matching the reference's prosody-bin lookups."""
+    return jnp.searchsorted(boundaries, x, side="left").astype(jnp.int32)

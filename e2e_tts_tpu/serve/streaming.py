@@ -70,7 +70,10 @@ class StreamingVocoder:
             yield audio[a:b]
 
     def vocode(self, mel: np.ndarray, mel_len: Optional[int] = None) -> np.ndarray:
-        return np.concatenate(list(self.stream(mel, mel_len)))
+        parts = list(self.stream(mel, mel_len))
+        if not parts:
+            return np.zeros(0, np.int16)
+        return np.concatenate(parts)
 
 
 def stream_synthesize(
@@ -84,46 +87,72 @@ def stream_synthesize(
     """Full streaming pipeline: acoustic stages produce the mel, then audio
     chunks stream out as the vocoder consumes it.
 
-    engine: serve.engine.SynthesisEngine (hifigan vocoder kind).
+    Text is chunked exactly like ``engine.synthesize`` (prepare_request:
+    arrange_text budget + speaker validation), and a chunk whose predicted
+    duration overflows the largest mel bucket is re-split at phoneme
+    boundaries the same way the engine path does — long inputs stream
+    instead of crashing or truncating.
+
+    engine: serve.engine.SynthesisEngine (hifigan vocoder kind),
+    single-host (control scalars feed the programs as plain floats).
     """
-    from ..text import text_to_sequence
-    from .engine import TEXT_BUCKETS, _bucket_for, _mel_bucket
+    from .engine import MAX_MEL_LEN, TEXT_BUCKETS, _bucket_for, _mel_bucket
 
-    seq = np.asarray(text_to_sequence(text, engine.foreign_dict), np.int32)
-    if len(seq) == 0:
+    seqs, speaker = engine.prepare_request(text, speaker_id)
+    if not seqs:
         return
-    L = _bucket_for(len(seq), TEXT_BUCKETS)
-    B = engine.batch_size
-    texts = np.zeros((B, L), np.int32)
-    lens = np.ones((B,), np.int32)
-    texts[0, : len(seq)] = seq
-    lens[0] = len(seq)
-    spk = np.full((B,), engine.speakers.get(speaker_id, 0), np.int32)
-
-    x, durations = engine._stage1(L)(
-        engine.acoustic_params, spk, texts, lens,
-        controls.get("pitch_control", 1.0),
-        controls.get("energy_control", 1.0),
-        controls.get("duration_control", 1.0),
-    )
-    dur = np.asarray(durations)
-    T = _mel_bucket(int(dur[0].sum()))
-
-    # mel-only program (acoustic stage 2 without the fused vocoder)
-    key = ("mel_only", L, T)
-    if key not in engine._stage2_cache:
-        def mel_fn(aparams, xx, dd):
-            return engine.acoustic.apply(
-                aparams, xx, dd, max_mel_len=T,
-                method=engine.acoustic.synthesize_stage2,
-            )
-
-        engine._stage2_cache[key] = jax.jit(mel_fn)
-        engine.n_programs_compiled += 1
-    mel, mel_lens = engine._stage2_cache[key](engine.acoustic_params, x, durations)
+    p = float(controls.get("pitch_control", 1.0))
+    e = float(controls.get("energy_control", 1.0))
+    d = float(controls.get("duration_control", 1.0))
 
     streamer = StreamingVocoder(
         engine.vocoder, engine.vocoder_params, engine.hop_length,
         chunk_frames, halo_frames,
     )
-    yield from streamer.stream(np.asarray(mel[0]), int(np.asarray(mel_lens)[0]))
+    B = engine.batch_size
+    pending = [np.asarray(s, np.int32) for s in seqs]
+    while pending:
+        seq = pending.pop(0)
+        L = _bucket_for(len(seq), TEXT_BUCKETS)
+        texts = np.zeros((B, L), np.int32)
+        lens = np.ones((B,), np.int32)
+        texts[0, : len(seq)] = seq
+        lens[0] = len(seq)
+        spk = np.full((B,), speaker, np.int32)
+
+        x, durations = engine._stage1(L)(
+            engine.acoustic_params, spk, texts, lens, p, e, d
+        )
+        total = int(np.asarray(durations)[0].sum())
+        if total > MAX_MEL_LEN:
+            pieces = engine._split_sequence(seq, total)
+            if len(pieces) > 1:
+                pending = pieces + pending
+                continue
+            import warnings
+
+            warnings.warn(
+                f"chunk predicts {total} mel frames but cannot be split; "
+                f"truncating to {MAX_MEL_LEN}"
+            )
+        T = _mel_bucket(min(total, MAX_MEL_LEN))
+
+        # mel-only program (acoustic stage 2 without the fused vocoder);
+        # shares the engine's program cache under its lock
+        key = ("mel_only", L, T)
+        with engine._cache_lock:
+            if key not in engine._stage2_cache:
+                def mel_fn(aparams, xx, dd, pc, ec, _T=T):
+                    return engine.acoustic.apply(
+                        aparams, xx, dd, max_mel_len=_T,
+                        p_control=pc, e_control=ec,
+                        method=engine.acoustic.synthesize_stage2,
+                    )
+
+                engine._stage2_cache[key] = jax.jit(mel_fn)
+                engine.n_programs_compiled += 1
+            fn = engine._stage2_cache[key]
+        mel, mel_lens = fn(engine.acoustic_params, x, durations, p, e)
+        yield from streamer.stream(
+            np.asarray(mel[0]), int(np.asarray(mel_lens)[0])
+        )

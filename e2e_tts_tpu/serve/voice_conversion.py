@@ -70,6 +70,16 @@ class SpectralVoiceConverter:
     def convert(self, source_path: str, target_path: str, out_path: str) -> str:
         src, sr = read_wav(source_path)
         tgt, sr_t = read_wav(target_path)
+        if sr_t != sr:
+            # resample the reference to the source rate so both STFTs put
+            # the same Hz in the same bin — otherwise the envelope transfer
+            # compares unrelated frequencies
+            n_out = int(round(len(tgt) * sr / sr_t))
+            tgt = np.interp(
+                np.arange(n_out) * (len(tgt) - 1) / max(n_out - 1, 1),
+                np.arange(len(tgt)),
+                tgt,
+            ).astype(tgt.dtype)
 
         S = _stft(src, self.n_fft, self.hop)
         T = _stft(tgt, self.n_fft, self.hop)

@@ -311,3 +311,25 @@ def test_extract_f0_ac_backend_contract():
     f0 = extract_f0(sig, mel_len, sr, hop, backend="ac")
     assert len(f0) == mel_len
     assert (f0[f0 > 0] > 100).all() and (f0[f0 > 0] < 200).all()
+
+
+def test_istft_short_window_matches_torch():
+    """win_length < n_fft: torch.istft center-pads the window to n_fft;
+    inverse_stft must match (review r3 finding — it used to crash)."""
+    import torch
+
+    rng = np.random.RandomState(3)
+    n_fft, hop, win = 16, 4, 8
+    n_frames = 48
+    mag = np.abs(rng.randn(1, n_fft // 2 + 1, n_frames)).astype(np.float32)
+    ph = (rng.rand(1, n_fft // 2 + 1, n_frames).astype(np.float32) - 0.5) * 6.28
+    from e2e_tts_tpu.audio.mel import inverse_stft
+
+    ours = np.asarray(inverse_stft(mag, ph, n_fft, hop, win))
+    theirs = torch.istft(
+        torch.from_numpy(mag) * torch.exp(torch.from_numpy(ph) * 1j),
+        n_fft=n_fft, hop_length=hop, win_length=win,
+        window=torch.hann_window(win),
+    ).numpy()
+    n = min(ours.shape[-1], theirs.shape[-1])
+    np.testing.assert_allclose(ours[0, :n], theirs[0, :n], atol=2e-4)

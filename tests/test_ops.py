@@ -159,6 +159,9 @@ def test_f0_to_coarse_matches_host():
 def test_bucketize_matches_torch():
     bounds = np.linspace(-2, 2, 255).astype(np.float32)
     x = np.random.RandomState(6).randn(100).astype(np.float32)
+    # include values exactly ON boundaries: torch (right=False) puts them
+    # in the LOWER bin (side='left'); random draws never cover this edge
+    x = np.concatenate([x, bounds[:5], bounds[-3:], [-2.0, 2.0]])
     ours = np.asarray(bucketize(jnp.asarray(x), jnp.asarray(bounds)))
     theirs = torch.bucketize(torch.from_numpy(x), torch.from_numpy(bounds)).numpy()
     np.testing.assert_array_equal(ours, theirs)

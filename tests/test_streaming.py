@@ -68,6 +68,24 @@ def test_stream_synthesize_end_to_end():
     audio = np.concatenate(chunks)
     assert audio.dtype == np.int16 and len(audio) > 0
 
+    # duration control flows into the streamed stages
+    slow = np.concatenate(
+        list(stream_synthesize(engine, "xin chào việt nam", duration_control=1.4))
+    )
+    assert len(slow) > len(audio)
+
+    # long text (beyond the largest text bucket) streams via the same
+    # chunking as engine.synthesize instead of crashing (review r3 finding)
+    long_text = " ".join(["xin chào việt nam hôm nay trời đẹp"] * 12)
+    long_chunks = list(stream_synthesize(engine, long_text))
+    assert len(np.concatenate(long_chunks)) > len(audio)
+
+    # unknown speakers fail loudly like the engine path
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        list(stream_synthesize(engine, "xin chào", speaker_id="nope"))
+
 
 def test_denoiser_reduces_bias():
     gen, params = _small_gen()

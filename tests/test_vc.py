@@ -177,3 +177,27 @@ def test_fallback_without_engine(tmp_path):
     assert result == out_path
     wav = np.fromfile(out_path, dtype=np.int16)[22:]
     assert len(wav) > 1000
+
+
+def test_spectral_vc_resamples_rate_mismatched_target(tmp_path):
+    """A target reference at a different sample rate is resampled before
+    envelope transfer (review r3 finding: mismatched rates silently mixed
+    unrelated frequency bins)."""
+    import numpy as np
+
+    from e2e_tts_tpu.audio.wav import read_wav, write_wav
+    from e2e_tts_tpu.serve.voice_conversion import SpectralVoiceConverter
+
+    sr_s, sr_t = 22050, 16000
+    t_s = np.arange(sr_s) / sr_s
+    t_t = np.arange(sr_t) / sr_t
+    src = (0.3 * np.sin(2 * np.pi * 220 * t_s)).astype(np.float32)
+    tgt = (0.3 * np.sin(2 * np.pi * 330 * t_t)).astype(np.float32)
+    sp, tp, op = tmp_path / "s.wav", tmp_path / "t.wav", tmp_path / "o.wav"
+    write_wav(str(sp), src, sr_s)
+    write_wav(str(tp), tgt, sr_t)
+
+    out_path = SpectralVoiceConverter().convert(str(sp), str(tp), str(op))
+    audio, sr_out = read_wav(out_path)
+    assert sr_out == sr_s
+    assert len(audio) > 0 and np.isfinite(audio).all()
