@@ -173,6 +173,12 @@ def make_acoustic_batches(
     n_mels = dataset.config.audio.mel.channels
 
     def emit(utts, key):
+        if len(utts) < batch_size:
+            # fill the partial tail by cycling real utterances rather than
+            # fabricating dummy rows (txt_lens=1 zero-mel rows used to feed
+            # invented targets into every epoch-tail gradient and skew
+            # validation means)
+            utts = [utts[i % len(utts)] for i in range(batch_size)]
         batch = _collate(utts, key, batch_size, n_mels, dataset)
         if with_paths:
             return batch, [u.wav_path for u in utts]
@@ -181,7 +187,11 @@ def make_acoustic_batches(
     groups: Dict[Tuple[int, int], List[Utterance]] = {}
     for i in order:
         utt = dataset[int(i)]
-        if len(utt.text_ids) > dataset.max_seq_len or utt.mel.shape[0] > MEL_BUCKETS[-1]:
+        if (
+            len(utt.text_ids) > min(dataset.max_seq_len, TEXT_BUCKETS[-1])
+            or utt.mel.shape[0] > MEL_BUCKETS[-1]
+        ):
+            # beyond the largest collate bucket: _collate would overflow
             continue
         key = (_bucket(len(utt.text_ids), TEXT_BUCKETS), _bucket(utt.mel.shape[0], MEL_BUCKETS))
         groups.setdefault(key, []).append(utt)

@@ -10,6 +10,7 @@ available) and f0 with the native YIN extractor.
 from __future__ import annotations
 
 import os
+from contextlib import nullcontext
 from typing import Dict
 
 import numpy as np
@@ -24,14 +25,6 @@ from ..audio import (
 from ..config import Config
 
 FEATURE_DIRS = ("mels", "f0", "pitch", "energy")
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 def utterance_paths(wav_path: str) -> Dict[str, str]:
@@ -73,7 +66,7 @@ def create_utterance_features(
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    ctx = jax.default_device(cpu) if cpu is not None else nullcontext()
     with ctx:
         mel, energy = mel_spectrogram(padded[None], p, return_energy=True)
         mel = np.asarray(mel[0], np.float32)[:, :mel_len]   # (n_mels, T)
@@ -114,11 +107,22 @@ def compute_stats(
     f0 = np.concatenate(f0s) if f0s else np.zeros(1)
 
     def d(x):
+        # min/max are stored in the NORMALIZED domain ((x - mean) / std),
+        # matching the reference's stats (its default_stats show pitch
+        # mean 185 / std 62.5 with min -2.05 / max 10.33, dataloader.py:
+        # 26-43): the dataset normalizes targets by mean/std before they
+        # reach the variance adaptor, so the quantization bin edges built
+        # from min/max (nn/variance.py _pitch_bins/_energy_bins) must live
+        # in that same domain — raw-domain edges collapse the embedding to
+        # a handful of bins.
+        mean = float(x.mean())
+        std = float(x.std() + 1e-8)
+        z = (x - mean) / std
         return {
-            "min": float(x.min()),
-            "max": float(x.max()),
-            "mean": float(x.mean()),
-            "std": float(x.std() + 1e-8),
+            "min": float(z.min()),
+            "max": float(z.max()),
+            "mean": mean,
+            "std": std,
         }
 
     return {"pitch": d(pitch), "energy": d(energy), "f0": d(f0)}

@@ -61,7 +61,7 @@ def create_unsupervised_filelist(
     foreign_dicts = foreign_dicts or {}
     lines, skipped = [], []
     for corpus in corpus_dirs:
-        speaker_fd = foreign_dicts.get(os.path.basename(corpus), foreign_dicts)
+        speaker_fd = foreign_dicts.get(os.path.basename(corpus), {})
         meta = os.path.join(corpus, "metadata.csv")
         with open(meta, encoding="utf8") as f:
             for row in f:

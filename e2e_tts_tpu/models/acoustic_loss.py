@@ -56,7 +56,12 @@ def duration_losses(
         wp = sum_by_words(dur_p * nonpad, word_ids, n_words)
         wt = sum_by_words(dur_t, word_ids, n_words)
         werr = (jnp.log(wp + 1.0) - jnp.log(wt + 1.0)) ** 2
-        wmask = (wp > 0).astype(jnp.float32)
+        # deliberate deviation: the reference masks by PREDICTED word
+        # duration (loss.py:46, `word_duration_predictions > 0`), which
+        # lets a word collapsed to zero predicted frames escape this loss
+        # entirely; masking by the TARGET keeps the gradient that pushes
+        # it back.  Padding word slots have wt == 0 either way.
+        wmask = (wt > 0).astype(jnp.float32)
         out["wdur"] = jnp.sum(werr * wmask) / jnp.maximum(jnp.sum(wmask), 1.0)
     else:
         out["wdur"] = jnp.zeros(())

@@ -17,7 +17,13 @@ from ..audio.mel import inverse_stft
 
 
 def _stft_mag_phase(audio, n_fft, hop, win):
+    assert win <= n_fft, (win, n_fft)
     window = jnp.asarray(hann_window(win))
+    if win < n_fft:
+        # center-pad a short window to n_fft (same as inverse_stft) so the
+        # frame product and the mag/phase round trip stay consistent
+        lpad = (n_fft - win) // 2
+        window = jnp.pad(window, (lpad, n_fft - win - lpad))
     pad = n_fft // 2
     x = jnp.pad(audio, [(0, 0), (pad, pad)], mode="reflect")
     n_frames = 1 + (x.shape[-1] - n_fft) // hop

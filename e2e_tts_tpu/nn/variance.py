@@ -173,7 +173,13 @@ class VariancePredictor(nn.Module):
         alpha = self.param("pos_alpha", nn.initializers.ones, (1,))
         pos = jnp.asarray(t2t_sinusoid(T + 1, x.shape[-1]), self.dtype)
         # positions follow non-padding frames (reference make_positions,
-        # function.py:28-38): padded (all-zero) frames get the zero row
+        # function.py:28-38).  Reference-parity caveat: by the time x gets
+        # here the speaker embedding has been added to EVERY position
+        # (adaptor __call__), so padded rows are nonzero and positions
+        # count straight through them — exactly like the reference, whose
+        # make_positions keys on xs[..., 0] after the same addition and
+        # whose conv stack is equally unmasked.  Masking here would
+        # diverge from converted torch checkpoints.
         nonpad = (jnp.abs(x).sum(-1) > 0).astype(jnp.int32)
         positions = jnp.cumsum(nonpad, axis=1) * nonpad
         x = x + alpha * pos[positions]

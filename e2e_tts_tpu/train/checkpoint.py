@@ -42,7 +42,9 @@ class CheckpointManager:
         self, template: Any, shardings: Any, step: Optional[int] = None
     ) -> Any:
         """Restore directly onto a device mesh: ``shardings`` is a pytree
-        (prefix) of jax.sharding.Sharding matching ``template``.  Arrays
+        of jax.sharding.Sharding with the SAME structure as ``template``
+        (build one with jax.tree.map, e.g. param_sharding_rules — a prefix
+        tree is NOT accepted: tree_map flattens both).  Arrays
         come back already placed — no host gather + re-placement round trip,
         which matters once params outgrow one host (ROADMAP: checkpoint
         sharding for larger variants)."""

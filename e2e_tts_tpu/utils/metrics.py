@@ -107,7 +107,9 @@ def make_scorer() -> Callable[[np.ndarray, int], float]:
     degradation metric (in-framework) > DSP health proxy."""
     try:
         return MosnetScorer()
-    except ImportError:
+    except Exception:
+        # anything from 'speechmetrics not installed' to missing model
+        # files or TF load errors: fall back rather than fail the gate
         pass
     try:
         return LearnedMosScorer()

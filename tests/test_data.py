@@ -93,6 +93,27 @@ def test_stats_reasonable(prepared):
     assert stats["energy"]["std"] > 0
 
 
+def test_stats_minmax_in_normalized_domain(prepared):
+    """min/max must live in the (x-mean)/std domain the dataset feeds the
+    model (reference default_stats convention, dataloader.py:26-43) — the
+    quantization bins built from them otherwise collapse (review r3)."""
+    import numpy as np
+
+    _, stats = prepared
+    for key in ("pitch", "energy"):
+        s = stats[key]
+        # normalized-domain extrema are a few sigma around zero, and raw
+        # mean/std stay in the raw domain
+        assert -10 < s["min"] < 0 < s["max"] < 10, s
+        assert s["std"] > 0 and s["mean"] > s["max"], s
+        # bin spread: normalized N(0,1)-ish values cover many of the 255
+        # linear bins between min and max
+        z = np.random.RandomState(0).randn(4000) * 0.9
+        bins = np.linspace(s["min"], s["max"], 255)
+        used = len(np.unique(np.searchsorted(bins, np.clip(z, s["min"], s["max"]))))
+        assert used > 60, used
+
+
 def test_boundaries_to_word_ids():
     ids = boundaries_to_word_ids([3, 2, 4], 9)
     assert ids.tolist() == [0, 0, 0, 1, 1, 2, 2, 2, 2]
