@@ -36,7 +36,17 @@ def initialize(
         # single host, or cloud TPU with auto-detection available
         try:
             jax.distributed.initialize()
-        except Exception:
+        except Exception as exc:
+            # On a plain single host this raise is the normal path; on a
+            # pod slice a swallowed transient coordinator error would
+            # silently degrade to N independent hosts — surface it so a
+            # misconfigured multi-host job is at least diagnosable.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "jax.distributed auto-initialize unavailable (%s); "
+                "continuing single-process", exc,
+            )
             return False
         return jax.process_count() > 1
 

@@ -72,7 +72,7 @@ def load_bundle(bundle_dir: str) -> Tuple:
     import jax.numpy as jnp
 
     from ..models.acoustic import FastSpeech2, cpu_rng_keys, init_acoustic_variables
-    from ..models.vocoder import build_generator
+    from ..models.vocoder import build_generator, init_generator_params
 
     from ..text.frontends import get_frontend
 
@@ -87,14 +87,9 @@ def load_bundle(bundle_dir: str) -> Tuple:
     )
     template_a = init_acoustic_variables(acoustic, 0)
     voc = build_generator(config, vocoder_kind)
-    try:
-        _cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        _cpu = None
-    with jax.default_device(_cpu):
-        template_v = voc.init(
-            cpu_rng_keys(0), jnp.zeros((1, 16, config.audio.mel.channels))
-        )
+    template_v = init_generator_params(
+        voc, cpu_rng_keys(0), config.audio.mel.channels
+    )
 
     with open(os.path.join(bundle_dir, "acoustic.msgpack"), "rb") as f:
         aparams = serialization.from_bytes(template_a, f.read())

@@ -45,6 +45,35 @@ FRAMES_PER_PHONEME_EST = 8
 PIPELINE_DEPTH = 4
 
 
+def _split_long_sequence(seq: np.ndarray) -> List[np.ndarray]:
+    """Split a phoneme sequence longer than the largest text bucket into
+    bucket-fitting pieces, cutting at <SILENT> pauses when one lies near
+    the even split point (the seam falls in a pause)."""
+    cap = TEXT_BUCKETS[-1]
+    if len(seq) <= cap:
+        return [seq]
+    from ..text import SILENT_ID
+
+    n_parts = -(-len(seq) // cap)  # ceil
+    piece_len = -(-len(seq) // n_parts)
+    silent_pos = np.flatnonzero(np.asarray(seq) == SILENT_ID)
+    pieces, start = [], 0
+    while start < len(seq):
+        target = min(start + piece_len, len(seq))
+        if target < len(seq):
+            near = silent_pos[
+                (silent_pos > start)
+                & (silent_pos < len(seq) - 1)
+                & (silent_pos < start + cap)
+                & (np.abs(silent_pos - target) <= piece_len // 4)
+            ]
+            if near.size:
+                target = int(near[np.argmin(np.abs(near - target))]) + 1
+        pieces.append(seq[start:target])
+        start = target
+    return [p for p in pieces if len(p) > 0]
+
+
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -404,6 +433,11 @@ class SynthesisEngine:
         texts = [text] if isinstance(text, str) else list(text)
         chunks = arrange_text(texts, self.max_len)
         seqs = [np.asarray(self._to_sequence(c), np.int32) for c in chunks]
+        # the char-budget chunker does not bound PHONEME counts (scripts
+        # like Burmese emit 2-3 phonemes per character, and spaceless text
+        # cannot be split by arrange_text at all): hard-split anything
+        # beyond the largest text bucket at <SILENT> seams when possible
+        seqs = [p for s in seqs for p in _split_long_sequence(s)]
         seqs = [s for s in seqs if len(s) > 0]
         if speaker_id is None or not self.speakers:
             spk = 0
@@ -748,4 +782,5 @@ class SynthesisEngine:
             self.stats,
             self.vocoder_kind,
             foreign_dict=self.foreign_dict,
+            language=self.language,
         )

@@ -34,11 +34,18 @@ class Synthesizer:
                 raise ValueError("need engine or bundle_dir")
             engine = SynthesisEngine.from_checkpoint(bundle_dir)
         self.engine = engine
+        is_vie = getattr(engine, "language", "vie") == "vie"
         if normalizer is not None:
             self.normalize = normalizer
         elif normalize_url:
-            self.normalize = HttpNormalizer(normalize_url)
-        elif getattr(engine, "language", "vie") == "vie":
+            # non-Vietnamese engines must not fall back to the VN
+            # normalizer when the endpoint is down — it would inject
+            # Vietnamese number/abbreviation words into foreign text
+            self.normalize = HttpNormalizer(
+                normalize_url,
+                fallback=normalize_text if is_vie else (lambda t: t),
+            )
+        elif is_vie:
             self.normalize = normalize_text
         else:
             # non-Vietnamese engines: the VN number/abbreviation expansion
@@ -68,6 +75,14 @@ class Synthesizer:
         if not save_filepath:
             stamp = datetime.datetime.now().strftime("%m_%d_%Y_%H_%M_%S")
             save_filepath = os.path.join(self.output_dir, f"{stamp}.wav")
+            n = 1
+            while os.path.exists(save_filepath):
+                # second-resolution stamps collide for back-to-back calls;
+                # never silently overwrite an earlier synthesis
+                save_filepath = os.path.join(
+                    self.output_dir, f"{stamp}_{n}.wav"
+                )
+                n += 1
 
         audio = self.engine.synthesize(
             text,
@@ -77,6 +92,16 @@ class Synthesizer:
             duration_control=duration_control,
             silence_distance=silence_distance,
         )
+        if sr and sr != self.engine.sample_rate:
+            # actually resample — writing engine-rate samples under a
+            # different header would silently change playback speed/pitch
+            n_out = int(round(len(audio) * sr / self.engine.sample_rate))
+            x = audio.astype(np.float32)
+            audio = np.interp(
+                np.arange(n_out) * (len(x) - 1) / max(n_out - 1, 1),
+                np.arange(len(x)),
+                x,
+            ).astype(np.int16)
         write_wav(save_filepath, audio, sr or self.engine.sample_rate)
         if speed != 1.0:
             save_filepath = audio_speed_change(save_filepath, speed_rate=speed)

@@ -81,6 +81,14 @@ def syllable_to_phonemes(graph: str) -> List[str]:
 
     graph, tone = strip_tone(graph)
     onset, nucleus, coda = _segment(graph)
+    if onset + nucleus + coda != graph:
+        # _segment stops at the second vowel group: leftover letters mean
+        # this is not a (single) Vietnamese syllable ("blockchain")
+        raise G2PError(f"unparseable syllable {graph!r}")
+    if onset and onset not in ONSETS:
+        raise G2PError(f"unparseable onset {onset!r} in {graph!r}")
+    if coda and coda not in CODAS:
+        raise G2PError(f"unparseable coda {coda!r} in {graph!r}")
 
     onset_ph = ONSETS.get(onset, "")
 
@@ -208,7 +216,9 @@ def phonemize(
     words = list(text.split()) if isinstance(text, str) else list(text)
     if not words:
         words = ["."]
-    if words[-1] not in _PUNCTUATION:
+    if not _is_punct_token(words[-1]):
+        # multi-char punctuation ("...", "?!") already ends the sentence;
+        # single-char membership used to append a spurious extra "."
         words.append(".")
 
     phonemes: List[str] = []

@@ -276,3 +276,55 @@ def test_mulaw_codec_roundtrip_bounds():
 def test_unknown_transfer_codec_raises():
     with pytest.raises(ValueError):
         _small_engine(transfer_codec="opus")
+
+
+def test_split_long_sequence_fits_buckets():
+    """Sequences beyond the largest text bucket are hard-split (spaceless
+    scripts like Burmese emit 2-3 phonemes per char, so the char-budget
+    chunker alone cannot bound phoneme counts — review r3 finding)."""
+    from e2e_tts_tpu.serve.engine import TEXT_BUCKETS, _split_long_sequence
+    from e2e_tts_tpu.text import SILENT_ID
+
+    seq = np.arange(3, 3 + 701, dtype=np.int32) % 90 + 5
+    seq[[200, 420, 600]] = SILENT_ID
+    pieces = _split_long_sequence(seq)
+    assert all(len(p) <= TEXT_BUCKETS[-1] for p in pieces)
+    assert sum(len(p) for p in pieces) == len(seq)
+    np.testing.assert_array_equal(np.concatenate(pieces), seq)
+    # short sequences pass through untouched
+    assert len(_split_long_sequence(seq[:100])) == 1
+
+
+def test_save_checkpoint_preserves_language(tmp_path):
+    import os
+
+    eng = _small_engine(language="eng")
+    d = str(tmp_path / "engb")
+    eng.save_checkpoint(d)
+    import json
+
+    with open(os.path.join(d, "meta.json")) as f:
+        assert json.load(f)["language"] == "eng"
+    eng2 = SynthesisEngine.from_checkpoint(d)
+    assert eng2.language == "eng"
+    a = eng2.synthesize("hello world", silence_distance=0.0)
+    assert len(a) > 0
+
+
+def test_synthesis_sr_resamples(engine, tmp_path):
+    syn = Synthesizer(engine=engine, output_dir=str(tmp_path))
+    ref = syn.synthesis("xin chào việt nam", silence_distance=0.0)
+    out = syn.synthesis("xin chào việt nam", sr=11025, silence_distance=0.0)
+    from e2e_tts_tpu.audio import read_wav
+
+    a_ref, sr_ref = read_wav(ref)
+    a_rs, sr_rs = read_wav(out)
+    assert sr_rs == 11025 and sr_ref == engine.sample_rate
+    # same playback duration: sample counts scale with the rate
+    assert abs(len(a_rs) / sr_rs - len(a_ref) / sr_ref) < 0.01
+
+
+def test_http_normalizer_fallback_is_identity_for_non_vie():
+    eng = _small_engine(language="eng")
+    syn = Synthesizer(engine=eng, normalize_url="http://127.0.0.1:1/x")
+    assert syn.normalize.fallback("2026 dogs") == "2026 dogs"

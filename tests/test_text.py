@@ -300,3 +300,30 @@ def test_dollar_decimal_amounts():
     # genuine VN thousands groups keep their meaning
     assert normalize_text("1.500$") == "một nghìn năm trăm đô la"
     assert "phẩy" not in normalize_text("1.500.000đ")
+
+
+def test_strict_g2p_rejects_non_vietnamese():
+    """strict=True must raise on unparseable tokens instead of silently
+    emitting a wrong single-vowel reading (review r3: 'blockchain' used to
+    become ['OA_0'])."""
+    from e2e_tts_tpu.text.g2p import G2PError, phonemize, syllable_to_phonemes
+
+    for bad in ("blockchain", "xyz", "strength"):
+        with pytest.raises(G2PError):
+            syllable_to_phonemes(bad)
+    with pytest.raises(G2PError):
+        phonemize("blockchain", strict=True)
+    # robust serving mode still flows (skips / falls back)
+    ph, _ = phonemize("xin blockchain chào", strict=False)
+    assert "</S>" in ph
+
+
+def test_trailing_multichar_punctuation_no_extra_pause():
+    """'...' already ends the sentence; a spurious extra '.' used to append
+    a second silence (burmese.py handled this correctly, g2p.py did not)."""
+    from e2e_tts_tpu.text.g2p import phonemize
+
+    ph_ellipsis, _ = phonemize("xin chào ...")
+    ph_dot, _ = phonemize("xin chào .")
+    assert ph_ellipsis == ph_dot
+    assert ph_ellipsis.count("<SILENT>") == 0
