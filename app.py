@@ -62,14 +62,22 @@ def build_interface(synthesizer: Synthesizer):
 
 
 def main():
-    bundle = sys.argv[1] if len(sys.argv) > 1 else None
+    import os
+
+    args = sys.argv[1:]
+    bundle = None
+    if args and os.path.isdir(args[0]):
+        bundle = args.pop(0)
+    elif args and not os.path.exists(args[0]):
+        # first arg is text, not a bundle dir: use auto-discovered voices
+        pass
     synthesizer = Synthesizer(vie_bundle=bundle)
     try:
         import gradio  # noqa: F401
     except ImportError:
         # CLI fallback: synthesize each argument / stdin line
         print("[app] gradio not installed; CLI mode")
-        texts = sys.argv[2:] or ["xin chào việt nam"]
+        texts = args or ["xin chào việt nam"]
         for t in texts:
             path, _ = synthesizer.synthesis(t)
             print(f"{t!r} -> {path}")

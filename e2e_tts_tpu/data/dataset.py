@@ -256,24 +256,40 @@ class VocoderDataset:
         segment_size: int = 8192,
         mel_dir: str = "mels",
     ):
-        self.entries = entries
         self.config = config
         self.segment_size = segment_size
         self.hop = config.audio.stft.hop_length
         self.seg_frames = segment_size // self.hop
         self.mel_dir = mel_dir
+        if mel_dir != "mels":
+            # predicted mels are only written for utterances that fit the
+            # acoustic collate buckets (generate-mels skips the rest);
+            # drop entries whose file is absent instead of crashing
+            import warnings
+
+            kept = [e for e in entries if os.path.exists(self._mel_path(e[0]))]
+            if len(kept) < len(entries):
+                warnings.warn(
+                    f"VocoderDataset: {len(entries) - len(kept)} utterances "
+                    f"have no {mel_dir} file; skipping them"
+                )
+            entries = kept
+        self.entries = entries
 
     def __len__(self):
         return len(self.entries)
+
+    def _mel_path(self, wav_path: str) -> str:
+        base = os.path.splitext(os.path.basename(wav_path))[0]
+        root = os.path.dirname(os.path.dirname(wav_path))
+        return os.path.join(root, self.mel_dir, f"{base}.npy")
 
     def __getitem__(self, i: int):
         from ..audio.wav import read_wav
 
         wav_path = self.entries[i][0]
         audio, _ = read_wav(wav_path)
-        base = os.path.splitext(os.path.basename(wav_path))[0]
-        root = os.path.dirname(os.path.dirname(wav_path))
-        mel = np.load(os.path.join(root, self.mel_dir, f"{base}.npy")).T  # (T, n_mels)
+        mel = np.load(self._mel_path(wav_path)).T  # (T, n_mels)
         return audio, mel
 
 

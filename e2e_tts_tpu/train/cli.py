@@ -159,6 +159,27 @@ def _load_workdir(workdir: str):
     return entries, stats, speakers
 
 
+
+
+def _apply_supervised(config):
+    """MFA-duration mode: learn_alignment=False changes the DurationPredictor
+    architecture and drops the aligner, so EVERY command that rebuilds the
+    model from config (acoustic, e2e, export, generate-mels) must apply the
+    same rewrite or checkpoint restore fails on a mismatched tree."""
+    fs2 = config.models.fastspeech2
+    return config.replace(
+        models=config.models.replace(
+            fastspeech2=fs2.replace(
+                variance=fs2.variance.replace(
+                    duration_modelling=fs2.variance.duration_modelling.replace(
+                        learn_alignment=False
+                    )
+                )
+            )
+        )
+    )
+
+
 def cmd_acoustic(args):
     from ..config import default_config, load_config
     from ..data import AcousticDataset, make_acoustic_batches, split_train_valid
@@ -178,18 +199,7 @@ def cmd_acoustic(args):
 
     config = load_config(args.config) if args.config else default_config()
     if args.supervised:
-        fs2 = config.models.fastspeech2
-        config = config.replace(
-            models=config.models.replace(
-                fastspeech2=fs2.replace(
-                    variance=fs2.variance.replace(
-                        duration_modelling=fs2.variance.duration_modelling.replace(
-                            learn_alignment=False
-                        )
-                    )
-                )
-            )
-        )
+        config = _apply_supervised(config)
 
     entries, stats, speakers = _load_workdir(args.workdir)
     train_entries, valid_entries = split_train_valid(entries, seed=config.train.seed)
@@ -449,15 +459,18 @@ def cmd_e2e(args):
     from ..utils.logging import E2ELogger
 
     config = load_config(args.config) if args.config else default_config()
+    if getattr(args, "supervised", False):
+        config = _apply_supervised(config)
     entries, stats, speakers = _load_workdir(args.workdir)
     train_entries, _ = split_train_valid(entries, seed=config.train.seed)
     n_symbols, symbol_table = _lang_symbols(args.lang)
     dataset = AcousticDataset(
         train_entries, speakers, stats, config,
+        supervised=getattr(args, "supervised", False),
         prior_cache_dir=os.path.join(args.workdir, "priors"),
         symbol_table=symbol_table,
     )
-    wav_by_path = {}
+    wav_by_path = {}  # bounded below: cleared past _WAV_CACHE_MAX entries
 
     model = FastSpeech2(
         config=config.models.fastspeech2,
@@ -596,6 +609,10 @@ def cmd_e2e(args):
             audio = np.zeros((batch.mel.shape[0], T * hop), np.float32)
             for row, p in enumerate(paths):
                 if p not in wav_by_path:
+                    if len(wav_by_path) >= 2048:
+                        # bound host RAM on large corpora; reloads overlap
+                        # the device step via the prefetch worker anyway
+                        wav_by_path.clear()
                     wav_by_path[p], _ = read_wav(p)
                 w = wav_by_path[p][: T * hop]
                 audio[row, : len(w)] = w
@@ -642,10 +659,13 @@ def cmd_generate_mels(args):
     from ..train.checkpoint import CheckpointManager
 
     config = load_config(args.config) if args.config else default_config()
+    if getattr(args, "supervised", False):
+        config = _apply_supervised(config)
     entries, stats, speakers = _load_workdir(args.workdir)
     n_symbols, symbol_table = _lang_symbols(args.lang)
     dataset = AcousticDataset(
         entries, speakers, stats, config,
+        supervised=getattr(args, "supervised", False),
         prior_cache_dir=os.path.join(args.workdir, "priors"),
         symbol_table=symbol_table,
     )
@@ -661,6 +681,11 @@ def cmd_generate_mels(args):
     )
     state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
     ckpt = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
+    if ckpt.latest_step() is None:
+        raise SystemExit(
+            f"[generate-mels] no acoustic checkpoint in "
+            f"{args.workdir}/acoustic_ckpt"
+        )
     state = ckpt.restore(state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
@@ -668,19 +693,31 @@ def cmd_generate_mels(args):
     def infer(variables, batch):
         # teacher-forced forward (training graph, eval weights) reproduces
         # target-aligned mels for the vocoder
-        out, _ = model.apply(
-            variables,
+        fs2v = config.models.fastspeech2.variance
+        kw = dict(
             speakers=batch.speakers,
             texts=batch.texts,
             txt_lens=batch.txt_lens,
             max_mel_len=batch.mel.shape[1],
             mel=batch.mel,
             mel_lens=batch.mel_lens,
-            attn_prior=batch.attn_prior,
-            pitch_target={"f0": batch.f0, "uv": batch.uv},
             energy_target=batch.energy,
             step=jnp.asarray(10**9),
             train=True,
+        )
+        # honor the same config switches cmd_e2e's step does
+        # (e2e_step.py:96-103): uv-conditioned vs plain pitch, learned
+        # aligner vs supervised durations
+        if fs2v.variance_embedding.use_uv:
+            kw["pitch_target"] = {"f0": batch.f0, "uv": batch.uv}
+        else:
+            kw["pitch_target"] = batch.pitch
+        if fs2v.duration_modelling.learn_alignment:
+            kw["attn_prior"] = batch.attn_prior
+        else:
+            kw["duration_target"] = batch.duration_target
+        out, _ = model.apply(
+            variables, **kw,
             rngs={"dropout": jax.random.PRNGKey(0)},
             mutable=["batch_stats"],
         )
@@ -722,6 +759,8 @@ def cmd_export(args):
     from ..train.checkpoint import CheckpointManager
 
     config = load_config(args.config) if args.config else default_config()
+    if getattr(args, "supervised", False):
+        config = _apply_supervised(config)
     entries, stats, speakers = _load_workdir(args.workdir)
 
     from ..nn.variance import FeatureStats as FS
@@ -739,6 +778,11 @@ def cmd_export(args):
     )
     a_state = init_train_state(model, optimizer, jax.random.PRNGKey(0))
     a_ckpt = CheckpointManager(os.path.join(args.workdir, "acoustic_ckpt"))
+    if a_ckpt.latest_step() is None:
+        raise SystemExit(
+            f"[export] no acoustic checkpoint in {args.workdir}/acoustic_ckpt"
+            " — exporting would write RANDOM weights"
+        )
     a_state = a_ckpt.restore(a_state)
 
     kind = "istft" if args.istft else "hifigan"
@@ -746,6 +790,12 @@ def cmd_export(args):
     g_opt = gan_optimizer(config.train.hifigan_optimizer)
     v_state = init_vocoder_train_state(gen, config, g_opt, g_opt, jax.random.PRNGKey(0))
     v_ckpt = CheckpointManager(os.path.join(args.workdir, f"vocoder_{kind}_ckpt"))
+    if v_ckpt.latest_step() is None:
+        raise SystemExit(
+            f"[export] no vocoder checkpoint in "
+            f"{args.workdir}/vocoder_{kind}_ckpt"
+            " — exporting would write RANDOM weights"
+        )
     v_state = v_ckpt.restore(v_state)
 
     acoustic_vars = {"params": a_state.params, "batch_stats": a_state.batch_stats}
@@ -838,6 +888,7 @@ def main(argv=None):
     pj = sub.add_parser("e2e")
     pj.add_argument("--workdir", required=True)
     pj.add_argument("--config")
+    pj.add_argument("--supervised", action="store_true")
     pj.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     pj.add_argument("--steps", type=int, default=100000)
     pj.add_argument("--ckpt-every", type=int, default=5000)
@@ -862,6 +913,7 @@ def main(argv=None):
     pg = sub.add_parser("generate-mels")
     pg.add_argument("--workdir", required=True)
     pg.add_argument("--config")
+    pg.add_argument("--supervised", action="store_true")
     pg.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     pg.set_defaults(fn=cmd_generate_mels)
 
@@ -869,6 +921,7 @@ def main(argv=None):
     pe.add_argument("--workdir", required=True)
     pe.add_argument("--output", required=True)
     pe.add_argument("--config")
+    pe.add_argument("--supervised", action="store_true")
     pe.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     pe.add_argument("--istft", action="store_true")
     pe.add_argument(

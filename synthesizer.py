@@ -97,14 +97,19 @@ class Synthesizer:
                 f"no model for language {language!r}; available: {self.languages}. "
                 "Register external backends via extra_models."
             )
-        out_path = os.path.join(self.output_dir, "tts_output.wav")
         model = self.model_dict[language]
-        path = model.tts_to_file(text, out_path, speed)
+        # collision-free timestamped name from the serve layer — a fixed
+        # tts_output.wav let concurrent requests overwrite each other
+        path = model.synthesis(text, save_filepath=None, speed=speed)
         vc_path = None
         if target_filepath:
             vc_path = self.voice_conversion(path, target_filepath)
         return path, vc_path
 
     def voice_conversion(self, source_filepath: str, target_filepath: str) -> str:
-        out = os.path.join(self.output_dir, "vc_output.wav")
+        import time as _time
+
+        out = os.path.join(
+            self.output_dir, f"vc_{_time.time_ns()}.wav"
+        )
         return self.voice_converter.convert(source_filepath, target_filepath, out)
