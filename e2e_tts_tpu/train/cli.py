@@ -186,7 +186,6 @@ def cmd_acoustic(args):
     from ..models import FastSpeech2
     from ..nn import FeatureStats
     from ..parallel import batch_sharding, make_data_mesh, param_sharding_rules
-    from ..text import symbols
     from ..train import (
         acoustic_optimizer,
         init_train_state,
@@ -452,7 +451,6 @@ def cmd_e2e(args):
     from ..data import AcousticDataset, make_acoustic_batches, split_train_valid
     from ..models import FastSpeech2, build_generator
     from ..nn import FeatureStats
-    from ..text import symbols
     from ..train import acoustic_optimizer, gan_optimizer
     from ..train.checkpoint import CheckpointManager
     from ..train.e2e_step import E2EBatch, init_e2e_state, make_e2e_train_step
@@ -654,7 +652,6 @@ def cmd_generate_mels(args):
     from ..data import AcousticDataset, make_acoustic_batches
     from ..models import FastSpeech2
     from ..nn import FeatureStats
-    from ..text import symbols
     from ..train import acoustic_optimizer, init_train_state
     from ..train.checkpoint import CheckpointManager
 
@@ -749,7 +746,6 @@ def cmd_export(args):
     from ..models import FastSpeech2, build_generator
     from ..nn import FeatureStats
     from ..serve.bundle import save_bundle
-    from ..text import symbols
     from ..train import (
         acoustic_optimizer,
         gan_optimizer,

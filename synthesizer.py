@@ -17,7 +17,6 @@ from typing import Dict, Optional
 from e2e_tts_tpu.serve import SynthesisEngine, Synthesizer as _VNSynthesizer
 from e2e_tts_tpu.serve.voice_conversion import (
     KnnVoiceConverter,
-    SpectralVoiceConverter,
 )
 
 
