@@ -153,24 +153,43 @@ def synth_batch(engine, seqs, rng):
     return drain_batches(engine, len(seqs), dispatch_batches(engine, seqs, rng))
 
 
-def _setup_with_retry(attempts: int = 3, wait_s: float = 15.0):
+_TRANSIENT = (
+    "FAILED_PRECONDITION",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "RESOURCE_EXHAUSTED",
+    "Unable to initialize backend",
+)
+
+
+def _setup_with_retry(attempts: int = 6, wait_s: float = 30.0):
     """Build the engine and run the compile/warmup pass, retrying on
     transient backend failures (FAILED_PRECONDITION / UNAVAILABLE — e.g. a
-    stale process still holding the TPU when the driver starts; the
-    round-2 official bench record was exactly such a crash)."""
+    stale process still holding the TPU when the driver starts, or the
+    remote-TPU tunnel mid-restart; the round-2 AND round-3 official bench
+    records were exactly such crashes).  EVERYTHING that can touch a JAX
+    backend — including the package imports — lives inside the retried
+    ``try``: a tunnel restart takes minutes, so the backoff grows
+    30 -> 60 -> 90s... (total ~7.5 min of patience)."""
     import sys
 
-    from e2e_tts_tpu.serve import SynthesisEngine
-    from e2e_tts_tpu.text import text_to_sequence
-
-    import jax.numpy as jnp
-
-    seqs = [np.asarray(text_to_sequence(s), np.int32) for s in SENTENCES]
     last = None
     for attempt in range(attempts):
         try:
             import os
 
+            import jax
+
+            # classify backend availability early: a dead tunnel fails
+            # here in seconds rather than mid-compile minutes later
+            jax.devices()
+
+            import jax.numpy as jnp
+
+            from e2e_tts_tpu.serve import SynthesisEngine
+            from e2e_tts_tpu.text import text_to_sequence
+
+            seqs = [np.asarray(text_to_sequence(s), np.int32) for s in SENTENCES]
             engine = SynthesisEngine.from_random(
                 seed=0, dtype=jnp.bfloat16, batch_size=32,
                 transfer_codec=os.environ.get("E2E_TTS_TRANSFER_CODEC") or None,
@@ -180,26 +199,18 @@ def _setup_with_retry(attempts: int = 3, wait_s: float = 15.0):
             return engine, seqs, rng
         except Exception as e:  # noqa: BLE001 - classify then re-raise
             msg = repr(e)
-            transient = any(
-                s in msg
-                for s in (
-                    "FAILED_PRECONDITION",
-                    "UNAVAILABLE",
-                    "DEADLINE_EXCEEDED",
-                    "RESOURCE_EXHAUSTED",
-                    "Unable to initialize backend",
-                )
-            )
+            transient = any(s in msg for s in _TRANSIENT)
             if not transient or attempt == attempts - 1:
                 raise
             last = e
+            delay = wait_s * (attempt + 1)
             print(
                 f"bench setup attempt {attempt + 1} failed transiently "
-                f"({type(e).__name__}); retrying in {wait_s:.0f}s",
+                f"({type(e).__name__}); retrying in {delay:.0f}s",
                 file=sys.stderr,
             )
             _PROGRAMS.clear()
-            time.sleep(wait_s)
+            time.sleep(delay)
     raise last  # pragma: no cover
 
 

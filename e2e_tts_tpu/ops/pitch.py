@@ -2,13 +2,18 @@
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 F0_BIN = 256
 F0_MIN = 50.0
 F0_MAX = 1100.0
-_F0_MEL_MIN = 1127.0 * jnp.log(1 + F0_MIN / 700.0)
-_F0_MEL_MAX = 1127.0 * jnp.log(1 + F0_MAX / 700.0)
+# Pure-Python constants: importing this module must never touch a JAX
+# backend (a module-level jnp op here initialized the TPU client at import
+# time and crashed bench runs when the tunnel was briefly unavailable).
+_F0_MEL_MIN = 1127.0 * math.log(1 + F0_MIN / 700.0)
+_F0_MEL_MAX = 1127.0 * math.log(1 + F0_MAX / 700.0)
 
 
 def f0_to_coarse(f0: jnp.ndarray) -> jnp.ndarray:
