@@ -2,11 +2,14 @@
 
 import os
 
+import pytest
 import yaml
 
 from e2e_tts_tpu.config import Config, default_config, load_config, save_config
 
 from conftest import REFERENCE_ROOT, requires_reference
+
+pytestmark = pytest.mark.smoke
 
 
 def test_defaults():

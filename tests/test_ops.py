@@ -4,6 +4,7 @@ forward-sum vs torch.nn.CTCLoss, pooling ops, masks."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from e2e_tts_tpu.ops import (
@@ -21,6 +22,7 @@ from e2e_tts_tpu.ops import (
 from e2e_tts_tpu.ops.mas import mas_numpy
 
 
+@pytest.mark.smoke
 def test_sequence_mask():
     m = sequence_mask(jnp.array([3, 1, 0]), 4)
     assert m.tolist() == [
@@ -30,6 +32,7 @@ def test_sequence_mask():
     ]
 
 
+@pytest.mark.smoke
 def test_mel2ph_and_regulate_vs_loop_oracle():
     rng = np.random.RandomState(0)
     B, L, H, T = 3, 7, 5, 30
@@ -51,6 +54,7 @@ def test_mel2ph_and_regulate_vs_loop_oracle():
         assert np.abs(np.asarray(x_mel)[b, mel_lens[b]:]).max() == 0 if mel_lens[b] < T else True
 
 
+@pytest.mark.smoke
 def test_expansion_matrix_equals_gather():
     rng = np.random.RandomState(1)
     B, L, H, T = 2, 5, 4, 16
@@ -62,6 +66,7 @@ def test_expansion_matrix_equals_gather():
     np.testing.assert_allclose(np.asarray(x_mel), np.asarray(x_mel2), atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_mas_matches_numpy_oracle():
     rng = np.random.RandomState(2)
     B, T_mel, T_text = 4, 40, 13
@@ -78,6 +83,7 @@ def test_mas_matches_numpy_oracle():
         np.testing.assert_array_equal(hard[b], oracle, err_msg=f"item {b}")
 
 
+@pytest.mark.smoke
 def test_mas_durations_are_valid():
     rng = np.random.RandomState(3)
     attn = rng.rand(2, 50, 11).astype(np.float32)
@@ -111,6 +117,7 @@ def _torch_forward_sum(attn_logprob, text_lens, mel_lens, blank=-1.0):
     return float(total / B)
 
 
+@pytest.mark.smoke
 def test_forward_sum_matches_torch_ctc():
     rng = np.random.RandomState(4)
     B, T_mel, T_text = 3, 25, 8
@@ -133,6 +140,7 @@ def test_forward_sum_grad_finite():
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.smoke
 def test_average_by_segments():
     # 2 phonemes: frames [0,1] -> ph0, [2,3,4] -> ph1; one padded frame
     feat = jnp.asarray([[1.0, 3.0, 2.0, 4.0, 6.0, 99.0]])
@@ -141,6 +149,7 @@ def test_average_by_segments():
     np.testing.assert_allclose(np.asarray(out), [[2.0, 4.0]], atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_sum_by_words():
     pdur = jnp.asarray([[2.0, 3.0, 1.0, 4.0, 0.0]])
     word_ids = jnp.asarray([[0, 0, 1, 2, 2]])
@@ -156,6 +165,7 @@ def test_f0_to_coarse_matches_host():
     np.testing.assert_array_equal(ours, theirs)
 
 
+@pytest.mark.smoke
 def test_bucketize_matches_torch():
     bounds = np.linspace(-2, 2, 255).astype(np.float32)
     x = np.random.RandomState(6).randn(100).astype(np.float32)

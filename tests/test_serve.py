@@ -57,6 +57,7 @@ def engine():
     return _small_engine()
 
 
+@pytest.mark.smoke
 def test_synthesize_end_to_end(engine):
     audio = engine.synthesize("xin chào việt nam", speaker_id="speaker_0")
     assert audio.dtype == np.int16

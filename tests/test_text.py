@@ -27,6 +27,8 @@ from e2e_tts_tpu.text.symbols import SYMBOL_TO_ID
 
 from conftest import REFERENCE_ROOT, requires_reference
 
+pytestmark = pytest.mark.smoke
+
 
 # ---------------------------------------------------------------------------
 # hand-derived golden cases covering every rule branch
