@@ -116,6 +116,14 @@ class SynthesisEngine:
         self.stats = stats
         self.vocoder_kind = vocoder_kind
         self.batch_size = batch_size
+        # Quality-incident observability: degraded-output events (truncation,
+        # overflow re-splits) are appended here and forwarded to ``on_event``
+        # when set (the Synthesizer wires this into its ServeLogger), so a
+        # deploy can see them per-request instead of only as warnings.
+        from collections import deque as _deque
+
+        self.events = _deque(maxlen=256)
+        self.on_event: Optional[callable] = None
 
         # Data-parallel serving (SURVEY §2.10): shard the batch axis of every
         # serving program over a 1-D device mesh; params replicate.  The same
@@ -408,6 +416,14 @@ class SynthesisEngine:
 
     # --- public API --------------------------------------------------------
 
+    def _emit_event(self, kind: str, **fields) -> None:
+        """Record a quality-incident event (kept in ``self.events`` and
+        forwarded to ``self.on_event`` when a logger subscribes)."""
+        rec = {"event": kind, **fields}
+        self.events.append(rec)
+        if self.on_event is not None:
+            self.on_event(rec)
+
     def synthesize(
         self,
         text,
@@ -576,11 +592,23 @@ class SynthesisEngine:
                                 f"frames but cannot be split; truncating "
                                 f"to {MAX_MEL_LEN}"
                             )
+                            self._emit_event(
+                                "truncation",
+                                predicted_frames=int(total_np[row]),
+                                kept_frames=MAX_MEL_LEN,
+                                seq_len=int(len(seqs[i])),
+                            )
                             n = int(fit_lens_np[row]) * self.hop_length
                             results[i] = self._decode_transfer(
                                 fit_audio_np[row, :n]
                             )
                         else:
+                            self._emit_event(
+                                "overflow_resplit",
+                                predicted_frames=int(total_np[row]),
+                                pieces=len(pieces),
+                                seq_len=int(len(seqs[i])),
+                            )
                             parts = self._synthesize_sequences(
                                 pieces, int(spk_of[i]), p, e, d
                             )

@@ -28,6 +28,7 @@ class Synthesizer:
         output_dir: str = "outputs",
         normalizer: Optional[Callable[[str], str]] = None,
         normalize_url: Optional[str] = None,
+        log_path: Optional[str] = None,
     ) -> None:
         if engine is None:
             if bundle_dir is None:
@@ -53,6 +54,15 @@ class Synthesizer:
             self.normalize = lambda t: t
         os.makedirs(output_dir, exist_ok=True)
         self.output_dir = output_dir
+        # Structured request logging: one JSONL record per synthesis call,
+        # including the engine's quality-incident events (truncation,
+        # overflow re-splits) so degraded outputs are observable in a
+        # deploy, not just warnings on some worker's stderr.
+        self.logger = None
+        if log_path is not None:
+            from ..utils.logging import ServeLogger
+
+            self.logger = ServeLogger(log_path)
 
     def tts_to_file(self, text: str, file_path: str, speed: float = 1.0):
         return self.synthesis(text, file_path, speed)
@@ -84,14 +94,41 @@ class Synthesizer:
                 )
                 n += 1
 
-        audio = self.engine.synthesize(
-            text,
-            speaker_id=speaker_id,
-            pitch_control=pitch_control,
-            energy_control=energy_control,
-            duration_control=duration_control,
-            silence_distance=silence_distance,
-        )
+        import time as _time
+
+        events: list = []
+        prev_sink = self.engine.on_event
+        if self.logger is not None:
+            # collect engine quality events for this request (chain any
+            # existing subscriber rather than displacing it)
+            self.engine.on_event = (
+                events.append
+                if prev_sink is None
+                else lambda rec: (events.append(rec), prev_sink(rec))
+            )
+        t0 = _time.perf_counter()
+        try:
+            audio = self.engine.synthesize(
+                text,
+                speaker_id=speaker_id,
+                pitch_control=pitch_control,
+                energy_control=energy_control,
+                duration_control=duration_control,
+                silence_distance=silence_distance,
+            )
+        finally:
+            if self.logger is not None:
+                self.engine.on_event = prev_sink
+        if self.logger is not None:
+            self.logger.log_request(
+                text_chars=len(text),
+                speaker_id=speaker_id,
+                speed=speed,
+                audio_s=round(len(audio) / self.engine.sample_rate, 3),
+                wall_s=round(_time.perf_counter() - t0, 4),
+                events=events,
+                path=save_filepath,
+            )
         if sr and sr != self.engine.sample_rate:
             # actually resample — writing engine-rate samples under a
             # different header would silently change playback speed/pitch

@@ -143,6 +143,42 @@ def test_overflow_resplits_instead_of_truncating(engine, monkeypatch):
     assert len(audio) > 128 * engine.hop_length
 
 
+def test_quality_events_surface_in_serve_log(engine, monkeypatch, tmp_path):
+    """Truncation and overflow re-splits must land in the Synthesizer's
+    structured request log (not just stderr warnings) so a deploy can see
+    degraded outputs per-request."""
+    import json
+
+    from e2e_tts_tpu.serve import engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "MAX_MEL_LEN", 128)
+    log = tmp_path / "serve.jsonl"
+    synth = Synthesizer(
+        engine=engine, output_dir=str(tmp_path), log_path=str(log)
+    )
+    text = "hôm nay trời đẹp quá các bạn ơi , chúng ta đi chơi thôi nào"
+
+    # overflow path: the chunk re-splits and synthesis succeeds
+    synth.synthesis(text, str(tmp_path / "a.wav"), duration_control=20.0)
+
+    # degenerate path: force un-splittable chunks -> truncation event
+    monkeypatch.setattr(
+        type(engine), "_split_sequence", lambda self, seq, total: [seq]
+    )
+    with pytest.warns(UserWarning, match="truncating"):
+        synth.synthesis(text, str(tmp_path / "b.wav"), duration_control=20.0)
+
+    recs = [json.loads(line) for line in open(log)]
+    assert len(recs) == 2
+    assert all(r["audio_s"] > 0 and r["wall_s"] > 0 for r in recs)
+    assert any(e["event"] == "overflow_resplit" for e in recs[0]["events"])
+    assert any(e["event"] == "truncation" for e in recs[1]["events"])
+    # the engine keeps its own bounded event buffer too
+    assert any(e["event"] == "truncation" for e in engine.events)
+    # the request-scoped subscription is removed after each call
+    assert engine.on_event is None
+
+
 def test_split_sequence_prefers_silent_boundaries():
     from e2e_tts_tpu.serve.engine import SynthesisEngine
     from e2e_tts_tpu.text import SILENT_ID
