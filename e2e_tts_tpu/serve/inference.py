@@ -15,7 +15,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..audio.wav import write_wav
-from ..text.normalizer import HttpNormalizer, normalize_text
+from ..text.normalizer import HttpNormalizer
 from .audio_post import audio_speed_change
 from .engine import SynthesisEngine
 
@@ -35,23 +35,22 @@ class Synthesizer:
                 raise ValueError("need engine or bundle_dir")
             engine = SynthesisEngine.from_checkpoint(bundle_dir)
         self.engine = engine
-        is_vie = getattr(engine, "language", "vie") == "vie"
+        # every served language normalizes through its own frontend
+        # (vie: normalizer.py, eng: english_normalizer.py, mya: burmese
+        # number reading) — digits/currency/dates never reach the G2P raw
+        from ..text.frontends import get_frontend
+
+        lang_normalize = get_frontend(
+            getattr(engine, "language", "vie")
+        ).normalize
         if normalizer is not None:
             self.normalize = normalizer
         elif normalize_url:
-            # non-Vietnamese engines must not fall back to the VN
-            # normalizer when the endpoint is down — it would inject
-            # Vietnamese number/abbreviation words into foreign text
-            self.normalize = HttpNormalizer(
-                normalize_url,
-                fallback=normalize_text if is_vie else (lambda t: t),
-            )
-        elif is_vie:
-            self.normalize = normalize_text
+            # when the endpoint is down, fall back to the in-process
+            # normalizer for the engine's own language
+            self.normalize = HttpNormalizer(normalize_url, fallback=lang_normalize)
         else:
-            # non-Vietnamese engines: the VN number/abbreviation expansion
-            # would emit Vietnamese words; pass text through untouched
-            self.normalize = lambda t: t
+            self.normalize = lang_normalize
         os.makedirs(output_dir, exist_ok=True)
         self.output_dir = output_dir
         # Structured request logging: one JSONL record per synthesis call,

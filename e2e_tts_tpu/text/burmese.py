@@ -189,6 +189,50 @@ _DIGIT_PHONES = {
 
 _PUNCT = frozenset(string.punctuation) | {"၊", "။"}  # ၊ ။
 
+# --- number normalization ----------------------------------------------------
+
+_BURMESE_DIGIT_OF = {str(i): chr(0x1040 + i) for i in range(10)}
+# place-value words in script (the syllable parser reads them); ascending
+_PLACES = ("", "ဆယ်", "ရာ", "ထောင်", "သောင်း", "သိန်း", "သန်း")
+_ZERO_WORD = "သုည"
+
+
+def burmese_number_to_words(n: int) -> str:
+    """Place-value reading as space-separated script tokens: 25 ->
+    "၂ ဆယ် ၅" (hniʔ hse nga).  Numbers beyond သန်း (10^6) places read
+    digit by digit (the parser voices each digit)."""
+    if n == 0:
+        return _ZERO_WORD
+    s = str(n)
+    if len(s) > len(_PLACES):
+        return " ".join(_BURMESE_DIGIT_OF[c] for c in s)
+    out: List[str] = []
+    for pos, ch in enumerate(s):
+        place = len(s) - 1 - pos
+        if ch == "0":
+            continue
+        out.append(_BURMESE_DIGIT_OF[ch])
+        if place:
+            out.append(_PLACES[place])
+    return " ".join(out)
+
+
+def normalize_burmese(text: str) -> str:
+    """Expand numerals in Burmese text to spoken place-value words.
+
+    ASCII digits are treated as Burmese numbers (the common mixed-script
+    case: "အခန်း 25").  Other text passes through untouched."""
+    import re
+
+    def _expand(m: "re.Match[str]") -> str:
+        digits = "".join(
+            str(_DIGITS[c]) if c in _DIGITS else c for c in m.group(0)
+        )
+        return " " + burmese_number_to_words(int(digits)) + " "
+
+    t = re.sub(r"[0-9၀-၉]+", _expand, text)
+    return re.sub(r"\s+", " ", t).strip()
+
 
 def burmese_phonemize(
     text: Union[str, Sequence[str]],

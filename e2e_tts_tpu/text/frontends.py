@@ -19,14 +19,19 @@ class Frontend(NamedTuple):
     symbol_to_id: dict
     to_sequence: Callable[..., list]    # text -> ids
     phonemize: Callable[..., Tuple[List[str], List[int]]]
+    normalize: Callable[[str], str]     # raw text -> speakable text
 
 
 def _vie() -> Frontend:
     from . import text_to_sequence
     from .g2p import phonemize
+    from .normalizer import normalize_text
     from .symbols import SYMBOL_TO_ID, symbols
 
-    return Frontend("vie", symbols, SYMBOL_TO_ID, text_to_sequence, phonemize)
+    return Frontend(
+        "vie", symbols, SYMBOL_TO_ID, text_to_sequence, phonemize,
+        normalize_text,
+    )
 
 
 def _eng() -> Frontend:
@@ -36,6 +41,7 @@ def _eng() -> Frontend:
         english_phonemize,
         english_to_sequence,
     )
+    from .english_normalizer import normalize_english
 
     # foreign_dict is the VN-frontend per-corpus override mechanism; the
     # other frontends accept and ignore it so call sites stay uniform
@@ -43,7 +49,8 @@ def _eng() -> Frontend:
         return english_to_sequence(text)
 
     return Frontend(
-        "eng", ENGLISH_SYMBOLS, ENGLISH_SYMBOL_TO_ID, to_seq, english_phonemize
+        "eng", ENGLISH_SYMBOLS, ENGLISH_SYMBOL_TO_ID, to_seq,
+        english_phonemize, normalize_english,
     )
 
 
@@ -53,13 +60,15 @@ def _mya() -> Frontend:
         MYA_SYMBOLS,
         burmese_phonemize,
         burmese_to_sequence,
+        normalize_burmese,
     )
 
     def to_seq(text, foreign_dict=None):
         return burmese_to_sequence(text)
 
     return Frontend(
-        "mya", MYA_SYMBOLS, MYA_SYMBOL_TO_ID, to_seq, burmese_phonemize
+        "mya", MYA_SYMBOLS, MYA_SYMBOL_TO_ID, to_seq, burmese_phonemize,
+        normalize_burmese,
     )
 
 

@@ -141,3 +141,36 @@ def test_router_serves_three_languages(tmp_path):
         assert vc is None
         wav = np.fromfile(path, dtype=np.int16)
         assert len(wav) > 500, lang
+
+
+def test_burmese_number_to_words():
+    from e2e_tts_tpu.text.burmese import burmese_number_to_words as n2w
+
+    assert n2w(0) == "သုည"
+    assert n2w(5) == "၅"
+    assert n2w(25) == "၂ ဆယ် ၅"
+    assert n2w(100) == "၁ ရာ"
+    assert n2w(2500) == "၂ ထောင် ၅ ရာ"
+    assert n2w(30700) == "၃ သောင်း ၇ ရာ"
+    assert n2w(1000000) == "၁ သန်း"
+
+
+def test_normalize_burmese_expands_digits():
+    from e2e_tts_tpu.text.burmese import (
+        burmese_phonemize,
+        normalize_burmese,
+    )
+
+    # ASCII and Burmese digits both expand to place-value words
+    assert normalize_burmese("အခန်း 25") == "အခန်း ၂ ဆယ် ၅"
+    assert normalize_burmese("အခန်း ၂၅") == "အခန်း ၂ ဆယ် ၅"
+    # the expansion phonemizes (no silent drops)
+    phs, _ = burmese_phonemize(normalize_burmese("25"))
+    assert len(phs) >= 6  # hniʔ + hse + nga syllables + </s>
+
+
+def test_mya_frontend_has_normalizer():
+    from e2e_tts_tpu.text.frontends import get_frontend
+
+    fe = get_frontend("mya")
+    assert fe.normalize("25 နေ") == "၂ ဆယ် ၅ နေ"

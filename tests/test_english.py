@@ -256,3 +256,92 @@ def test_plural_possessive_adds_no_extra_suffix():
     assert word_to_phonemes("cats'") == word_to_phonemes("cats")
     # singular possessive still voices the clitic
     assert word_to_phonemes("dog's") == word_to_phonemes("dogs")
+
+
+# --- English text normalization (numbers/dates/currency -> words) ------------
+
+
+def test_english_number_to_words():
+    from e2e_tts_tpu.text.english_normalizer import english_number_to_words as n2w
+
+    assert n2w(0) == "zero"
+    assert n2w(13) == "thirteen"
+    assert n2w(45) == "forty five"
+    assert n2w(123) == "one hundred twenty three"
+    assert n2w(1005) == "one thousand five"
+    assert n2w(2_300_000) == "two million three hundred thousand"
+    assert n2w(-7) == "minus seven"
+
+
+def test_english_ordinals_and_years():
+    from e2e_tts_tpu.text.english_normalizer import (
+        _year_words,
+        english_ordinal_words,
+    )
+
+    assert english_ordinal_words(1) == "first"
+    assert english_ordinal_words(22) == "twenty second"
+    assert english_ordinal_words(30) == "thirtieth"
+    assert english_ordinal_words(100) == "one hundredth"
+    assert _year_words(1999) == "nineteen ninety nine"
+    assert _year_words(1900) == "nineteen hundred"
+    assert _year_words(2005) == "two thousand five"
+    assert _year_words(2025) == "twenty twenty five"
+
+
+def test_normalize_english_surface():
+    from e2e_tts_tpu.text.english_normalizer import normalize_english as N
+
+    assert N("123") == "one hundred twenty three"
+    assert N("I have $5.50") == "I have five dollars fifty cents"
+    assert N("$3.2 million deal") == "three point two million dollars deal"
+    assert N("12% done") == "twelve percent done"
+    assert N("at 9:30 am") == "at nine thirty ay em"
+    assert N("at 12:00") == "at twelve o'clock"
+    assert N("the 3rd item") == "the third item"
+    assert N("pages 5-10") == "pages five to ten"
+    assert N("pi is 3.14") == "pi is three point one four"
+    assert N("5 km away") == "five kilometers away"
+    assert N("in 1984") == "in nineteen eighty four"
+    assert N("1,234 things") == "one thousand two hundred thirty four things"
+    assert N("2020-08-16") == "august sixteenth twenty twenty"
+    assert N("on 8/16") == "on august sixteenth"
+    assert N("Mr Smith and Dr Jones") == "mister Smith and doctor Jones"
+    assert N("the USA team") == "the you ess ay team"
+    assert N("room B2") == "room B two"
+    assert N("call 5550100") == "call five five five oh one oh oh"
+    assert N("no digits here") == "no digits here"
+
+
+def test_normalized_english_is_fully_speakable():
+    """Every word the normalizer emits resolves through lexicon/morphology
+    (no LTS fallback, no raw digits)."""
+    from e2e_tts_tpu.text.english import _LEXICON, _inflected_phones
+    from e2e_tts_tpu.text.english_normalizer import normalize_english as N
+
+    samples = [
+        "order 66 costs $1,499.99 at 11:45 pm on 2023-12-31",
+        "the 21st century began in 2001 with 50% less",
+        "ABC news reported 7,000,000 viewers and 3.5 stars",
+        "drive 100 km at 65 mph for 2 hours",
+    ]
+    for s in samples:
+        for w in N(s).lower().replace("'", "'").split():
+            w = w.strip(".,")
+            assert not any(c.isdigit() for c in w), (s, w)
+            assert w in _LEXICON or _inflected_phones(w), (s, w)
+
+
+def test_eng_frontend_normalizes_requests(eng_engine, tmp_path):
+    """'123' through the English Synthesizer reads 'one hundred twenty
+    three' (VERDICT r3 item 4): the frontend normalizer is wired into the
+    serving path, and the result synthesizes."""
+    from e2e_tts_tpu.serve import Synthesizer
+    from e2e_tts_tpu.text.frontends import get_frontend
+
+    fe = get_frontend("eng")
+    assert fe.normalize("123") == "one hundred twenty three"
+    synth = Synthesizer(engine=eng_engine, output_dir=str(tmp_path))
+    assert synth.normalize("123") == "one hundred twenty three"
+    audio = synth.synthesize_array("page 123")
+    assert audio.dtype == np.int16 and len(audio) > 1000
