@@ -228,9 +228,12 @@ _RULES: List[Tuple[str, str]] = [
     ("ould$", "UH1 D"), ("ange$", "EY1 N JH"), ("aste$", "EY1 S T"),
     ("ouse$", "AW1 S"), ("ause$", "AO1 Z"), ("ase$", "EY1 S"),
     ("ese$", "IY1 Z"),
-    ("tion$", "SH AH0 N"), ("sion$", "ZH AH0 N"), ("tious$", "SH AH0 S"),
+    ("stion", "S CH AH0 N"), ("tion", "SH AH0 N"), ("sion", "ZH AH0 N"),
+    ("tious$", "SH AH0 S"),
     ("cious$", "SH AH0 S"), ("ture$", "CH ER0"), ("sure$", "ZH ER0"),
     ("tial$", "SH AH0 L"), ("cial$", "SH AH0 L"), ("ought", "AO1 T"),
+    ("ial$", "IY0 AH0 L"), ("gious$", "JH AH0 S"), ("ious$", "IY0 AH0 S"),
+    ("ften$", "F AH0 N"), ("gue$", "G"), ("iew", "Y UW1"),
     ("aught", "AO1 T"), ("ight", "AY1 T"), ("eigh", "EY1"), ("igh", "AY1"),
     ("able$", "AH0 B AH0 L"), ("ible$", "AH0 B AH0 L"),
     ("ism$", "IH0 Z AH0 M"), ("ist$", "IH0 S T"), ("ity$", "IH0 T IY0"),
@@ -238,20 +241,67 @@ _RULES: List[Tuple[str, str]] = [
     ("ous$", "AH0 S"), ("age$", "IH0 JH"), ("ate$", "EY2 T"),
     ("ize$", "AY2 Z"), ("ise$", "AY2 Z"), ("ify$", "IH0 F AY2"),
     ("ive$", "IH0 V"), ("ogy$", "AH0 JH IY0"), ("ical$", "IH0 K AH0 L"),
-    ("ing$", "IH0 NG"), ("ings$", "IH0 NG Z"), ("ed$", "D"),
+    ("ing$", "IH0 NG"), ("ings$", "IH0 NG Z"),
     ("ies$", "IY0 Z"), ("ey$", "IY0"), ("y$", "IY0"), ("le$", "AH0 L"),
-    ("es$", "Z"), ("ce$", "S"), ("ge$", "JH"), ("ve$", "V"), ("o$", "OW1"),
+    ("ce$", "S"), ("ge$", "JH"), ("ve$", "V"), ("o$", "OW1"),
     ("se$", "S"), ("ic$", "IH0 K"), ("gy$", "JH IY0"),
-    ("uge$", "Y UW1 JH"),
+    ("uge$", "Y UW1 JH"), ("ceive$", "S IY1 V"),
     # consonant digraphs
-    ("tch", "CH"), ("dge", "JH"), ("ch", "CH"), ("sh", "SH"),
+    ("tch", "CH"), ("dge", "JH"), ("chr", "K R"), ("sch", "S K"),
+    ("ch", "CH"), ("sh", "SH"),
     ("th", "TH"), ("ph", "F"), ("gh", "G"), ("wh", "W"), ("ck", "K"),
     ("ng", "NG"), ("qu", "K W"), ("wr", "R"), ("kn", "N"), ("gn", "N"),
     ("mb$", "M"), ("sc", "S K"), ("dd", "D"), ("bb", "B"), ("tt", "T"),
     ("pp", "P"), ("ss", "S"), ("ll", "L"), ("mm", "M"), ("nn", "N"),
     ("rr", "R"), ("ff", "F"), ("gg", "G"), ("zz", "Z"), ("cc", "K"),
     # vowel + context patterns
+    ("ally$", "AH0 L IY0"), ("alk", "AO1 K"),
     ("all", "AO1 L"), ("old$", "OW1 L D"), ("ind$", "AY1 N D"),
+    ("war", "W AO1 R"), ("ood$", "UH1 D"), ("uni", "Y UW1 N"),
+    ("ealth", "EH1 L TH"), ("easure", "EH1 ZH ER0"),
+    ("eaven", "EH1 V AH0 N"), ("ough$", "OW1"), ("oar", "AO1 R"),
+    ("tz", "T S"), ("ieth$", "IY0 AH0 TH"), ("gent$", "JH AH0 N T"),
+    ("alt", "AO1 L T"), ("nk", "NG K"),
+    ("rive$", "R AY1 V"), ("use$", "Y UW1 Z"),
+    ("stle$", "S AH0 L"), ("sten$", "S AH0 N"),
+    ("arr", "EH1 R"), ("err", "EH1 R"), ("orr", "AO1 R"), ("urr", "ER1"),
+    ("who$", "HH UW1"), ("owel", "AW1 AH0 L"), ("ninet", "N AY1 N T"),
+    ("isl", "AY1 L"), ("alm$", "AA1 M"), ("hour", "AW1 ER0"),
+    ("exp", "IH0 K S P"), ("destr", "D IH0 S T R"),
+    ("alue$", "AE1 L Y UW0"), ("ess$", "EH2 S"),
+    ("engl", "IH1 NG G L"), ("ajor", "EY1 JH ER0"),
+    ("cient$", "SH AH0 N T"), ("tient$", "SH AH0 N T"),
+    ("ient$", "AY1 AH0 N T"), ("ilent$", "AY1 L AH0 N T"),
+    ("edu", "EH1 JH AH0"), ("ffice", "F AH0 S"),
+    ("othes$", "OW1 DH Z"), ("eople", "IY1 P AH0 L"),
+    ("was$", "W AA1 Z"), ("wash", "W AA1 SH"),
+    ("arious", "EH1 R IY0 AH0 S"), ("eai", "IY0 EY1"),
+    ("ision", "IH1 ZH AH0 N"), ("iny$", "AY1 N IY0"),
+    ("inus", "AY1 N AH0 S"), ("ibr", "AY1 B R"),
+    ("oul", "OW1 L"), ("eather", "EH1 DH ER0"), ("irr", "IH1 R"),
+    ("eau", "Y UW1"), ("inute", "IH1 N AH0 T"),
+    ("ience$", "IY0 AH0 N S"), ("noth", "N AH1 TH"),
+    ("otor", "OW1 T ER0"), ("aise$", "EY1 Z"), ("eeze$", "IY1 Z"),
+    ("ily$", "AH0 L IY0"), ("whol", "HH OW1 L"),
+    ("qual", "K W AA1 L"), ("quant", "K W AA1 N T"),
+    ("journ", "JH ER1 N"), ("nsw", "N S"), ("alf", "AE1 F"),
+    ("uild", "IH1 L D"), ("uscle", "AH1 S AH0 L"),
+    ("chine$", "SH IY1 N"), ("eign$", "AH0 N"), ("olor", "AH1 L ER0"),
+    ("ular$", "Y AH0 L ER0"), ("ercent", "ER0 S EH1 N T"),
+    ("equ", "IY1 K W"), ("aybe$", "EY1 B IY0"),
+    ("ouble", "AH1 B AH0 L"), ("ower$", "AW1 ER0"), ("aigh", "EY1"),
+    ("iron", "AY1 ER0 N"), ("honor", "AA1 N ER0"),
+    ("honest", "AA1 N AH0 S T"), ("nior", "N Y ER0"),
+    ("eese$", "IY1 Z"), ("urpose", "ER1 P AH0 S"),
+    ("alm", "AO1 L M"), ("alw", "AO1 L W"), ("als", "AO1 L S"),
+    ("alr", "AO1 L R"), ("terest", "T R AH0 S T"),
+    ("dred$", "D R AH0 D"), ("gine$", "JH AH0 N"), ("tain$", "T AH0 N"),
+    ("olution", "AH0 L UW1 SH AH0 N"), ("iri", "IH1 R IH0"),
+    ("eally$", "IH1 L IY0"),
+    ("ager$", "IH0 JH ER0"), ("shion$", "SH AH0 N"),
+    ("gion$", "JH AH0 N"), ("ion$", "Y AH0 N"),
+    ("other", "AH1 DH ER0"), ("oney$", "AH1 N IY0"),
+    ("onth", "AH1 N TH"), ("onkey", "AH1 NG K IY0"), ("ia$", "IY0 AH0"),
     ("ign$", "AY1 N"), ("ave$", "EY1 V"), ("ead$", "EH1 D"),
     ("eady", "EH1 D IY0"),
     ("ild$", "AY1 L D"), ("imb$", "AY1 M"), ("oth$", "OW1 TH"),
@@ -280,13 +330,15 @@ _RULES: List[Tuple[str, str]] = [
 # above (stone -> stoan -> S T OW1 N, time -> tighm -> T AY1 M).
 # "s" is excluded: V-s-e words split S/Z lexically ("house" vs "rose")
 # and get dedicated -Vse$ rules instead
-_MAGIC_E = re.compile(r"([aeiou])([bdfgkmnprtz])e$")
-_LONG_VOWEL = {"a": "ai", "e": "ee", "i": "igh", "o": "oa", "u": "ue"}
+_MAGIC_E = re.compile(r"(?<![aeiou])([aeiouy])([bdfgklmnprtz])e$")
+_LONG_VOWEL = {"a": "ai", "e": "ee", "i": "igh", "o": "oa", "u": "ue", "y": "igh"}
 # magic e through soft c ("face" -> fais -> F EY S); only for short stems —
 # longer -ace/-ice endings are unstressed ("practice", "surface")
 _MAGIC_CE = re.compile(r"(?<![aeiou])([aeiou])ce$")
-# suffixes that keep the stem's magic-e reading: "maker", "timing"
-_MAGIC_E_SUFFIX = re.compile(r"([aeiou])([bdfgkmnprstvz])(ing|er|ers|ed)$")
+# suffixes that keep the stem's magic-e reading: "maker", "timing".
+# "v" is excluded: single-v stems before -er are mostly SHORT vowels
+# (never, river, cover, ever, deliver) — "over" is the exception
+_MAGIC_E_SUFFIX = re.compile(r"([aeiou])([bdfgklmnprstz])(ing|er|ers|ed)$")
 
 
 _FINAL_SCHWA: List[Tuple[str, List[str]]] = [
@@ -297,7 +349,65 @@ _FINAL_SCHWA: List[Tuple[str, List[str]]] = [
 ]
 
 
+_REDUCIBLE = {
+    "AE1": "AH0", "AA1": "AH0", "AH1": "AH0", "EH1": "AH0", "IH1": "AH0",
+}
+_KEEP_FINAL_GUARD = 2  # final syllable with a 2+-consonant coda keeps stress
+
+
+def _reduce_unstressed(phones: List[str]) -> List[str]:
+    """Stress-aware vowel reduction post-pass.
+
+    The table rules emit citation (stressed) vowel qualities everywhere;
+    real English reduces short vowels in unstressed syllables to schwa
+    (market -> M AA1 R K AH0 T).  Heuristic: the first rule-stressed vowel
+    carries the word stress; later rule-stressed SHORT vowels reduce to
+    AH0 (AO1+R -> ER0), except in a final syllable closed by 2+ consonants
+    ("understand" keeps its final full vowel).  Vowels the rules already
+    marked unstressed (digit 0 from suffix knowledge) are left alone."""
+    vowel_idx = [
+        k for k, ph in enumerate(phones) if ph[-1:] in "012"
+    ]
+    if len(vowel_idx) < 2:
+        return phones
+    seen_stress = False
+    out = list(phones)
+    for n, k in enumerate(vowel_idx):
+        ph = phones[k]
+        if not ph.endswith("1"):
+            continue
+        if not seen_stress:
+            seen_stress = True
+            continue
+        is_last = n == len(vowel_idx) - 1
+        coda = len(phones) - k - 1 if is_last else 0
+        if is_last and coda >= _KEEP_FINAL_GUARD:
+            continue
+        if ph == "AO1" and k + 1 < len(phones) and phones[k + 1] == "R":
+            out[k] = "ER0"
+            out[k + 1] = None
+        elif ph in _REDUCIBLE:
+            out[k] = _REDUCIBLE[ph]
+    return [p for p in out if p is not None]
+
+
 def letter_to_sound(word: str) -> List[str]:
+    """Grapheme -> ARPAbet with unstressed-vowel reduction (see
+    _reduce_unstressed; core rules in _lts_core)."""
+    return _reduce_unstressed(_lts_core(word))
+
+
+# The DH/TH split on word-initial "th" is purely lexical: English voices
+# initial th ONLY in the closed class of function words (determiners,
+# pronouns, th-adverbs) — a finite, linguistically-fixed set every
+# rule-based LTS hardcodes (content words: thing, think, three -> TH).
+_TH_FUNCTION = frozenset(
+    "the this that these those they them then than thus though there "
+    "their theirs therefore themselves thee thy thine".split()
+)
+
+
+def _lts_core(word: str) -> List[str]:
     """Rule-based grapheme -> ARPAbet for out-of-lexicon words.
 
     Longest-match left-to-right with a handful of context rules (soft c,
@@ -308,6 +418,31 @@ def letter_to_sound(word: str) -> List[str]:
     word = word.lower()
     if word == "i":
         return ["AY1"]
+    if word in _TH_FUNCTION:
+        rest = _lts_core("d" + word[2:])[1:]  # vowel/coda via normal rules
+        if word == "the":
+            return ["DH", "AH0"]
+        return ["DH"] + rest
+    # polysyllabic -age is the unstressed IH0 JH suffix (village, message,
+    # language) — peel it BEFORE magic-e rewrites "age" into long-a "aig"
+    if (
+        len(word) > 4 and word.endswith("age")
+        and any(c in "aeiouy" for c in word[:-3])
+    ):  # vowel-less stems ("stage") are monosyllables, not -age suffixes
+        return _lts_core(word[:-3]) + ["IH0", "JH"]
+    # -ture/-sure/-ure read CH ER / ZH ER / (Y) ER (structure, pleasure,
+    # injure, figure) — peel before magic-e rewrites "ure" into long-u;
+    # "-easure" first so its EH vowel survives (treasure, measure)
+    if len(word) > 6 and word.endswith("easure"):
+        return _lts_core(word[:-6]) + ["EH1", "ZH", "ER0"]
+    if len(word) > 4 and word.endswith("ture"):
+        return _lts_core(word[:-4]) + ["CH", "ER0"]
+    if len(word) > 4 and word.endswith("sure"):
+        return _lts_core(word[:-4]) + ["ZH", "ER0"]
+    if len(word) > 5 and word.endswith("ure"):
+        stem = word[:-3]
+        glide = ["Y"] if stem[-1] in "gl" else []
+        return _lts_core(stem) + glide + ["ER0"]
     if len(word) <= 5:
         word = _MAGIC_CE.sub(lambda m: _LONG_VOWEL[m.group(1)] + "s", word)
     word = _MAGIC_E.sub(lambda m: _LONG_VOWEL[m.group(1)] + m.group(2), word)
@@ -316,19 +451,46 @@ def letter_to_sound(word: str) -> List[str]:
     )
     out: List[str] = []
     i = 0
-    # unstressed initial a- before one consonant + vowel ("about", "again");
-    # clusters ("after") keep AE
+    # unstressed initial a- before one consonant + vowel ("about", "again")
+    # or a doubled consonant ("attack", "address"); true clusters
+    # ("after") keep AE
     if (
         len(word) >= 4 and word[0] == "a"
-        and word[1] not in "aeiouy" and word[2] in "aeiou"
+        and word[1] not in "aeiouy"
+        and (word[2] in "aeiou" or (word[1] == word[2] and len(word) >= 5))
     ):
         out.append("AH0")
         i = 1
-    # unstressed be-/de-/re- prefixes before a single consonant + vowel
-    # ("begin", "decide", "remember"); doubles ("better") keep full vowels
+    # unstressed be-/de-/re-/pre- prefixes before a consonant (or
+    # consonant+liquid cluster) + vowel ("begin", "decide", "degree",
+    # "reply", "prepare"); doubles ("better") keep full vowels
     if (
+        len(word) >= 6 and word[:3] == "pre"
+        and word[3] not in "aeiouy"
+        and (
+            word[4] in "aeiouy"
+            or (word[4] in "lr" and len(word) > 5 and word[5] in "aeiouy")
+        )
+    ):
+        out.extend(["P", "R", "IH0"])
+        i = 3
+    elif (
+        len(word) >= 7 and word[:3] in ("com", "con")
+        and word[3] not in "aeiouy" and word[3] != word[2]
+    ):
+        # unstressed com-/con- before a consonant in longer words
+        # (computer, continue, condition); shorter ones (common, comment,
+        # concert) and doubles (connect is the exception) keep stress
+        out.extend(["K", "AH0", "M" if word[2] == "m" else "N"])
+        i = 3
+    elif (
         len(word) >= 5 and word[:2] in ("be", "de", "re")
-        and word[2] not in "aeiouy" and word[3] in "aeiouy"
+        and word[2] not in "aeiouy"
+        and (
+            word[3] in "aeiouy"
+            or (word[3] in "lr" and len(word) > 4 and word[4] in "aeiouy")
+            or (word[2] == "s" and word[3] not in "aeiouy")
+        )
         and word[2] != word[3]
     ):
         out.append({"b": "B", "d": "D", "r": "R"}[word[0]])
@@ -351,6 +513,161 @@ def letter_to_sound(word: str) -> List[str]:
             if suf is not None:
                 out.extend(dict(_FINAL_SCHWA)[suf])
                 break
+        # suffix -ed: voicing assimilates to the stem's last letter
+        # (walked -> T, loved -> D, needed -> IH0 D); "red"/"bed" (i < 2)
+        # are stems, not suffixed forms
+        if i >= 2 and i + 2 == len(word) and word.startswith("ed", i):
+            prev = word[i - 1]
+            if prev in "td":
+                out.extend(["IH0", "D"])
+            elif prev in "pkfshxc":
+                out.append("T")
+            else:
+                out.append("D")
+            break
+        # suffix -es: epenthetic after sibilant spellings (boxes, churches),
+        # plain /z/ otherwise (goes, shoes); "yes" (i < 2) is a stem
+        if i >= 2 and i + 2 == len(word) and word.startswith("es", i):
+            if word[i - 1] in "sxzhcg":
+                out.extend(["IH0", "Z"])
+            else:
+                out.append("Z")
+            break
+        # non-initial "ther" is voiced (mother, other, weather, northern);
+        # word-initial keeps TH (therapy, thermal)
+        if i > 0 and word.startswith("ther", i):
+            out.extend(["DH", "ER0"])
+            i += 4
+            continue
+        # intervocalic single "s" is usually voiced (music, reason, visit,
+        # easy); doubles ("ss") stay /s/, and a final silent e doesn't
+        # count as a following vowel ("choose" -> the -se$ rules)
+        if (
+            word[i] == "s" and 0 < i < len(word) - 1
+            and word[i - 1] in "aeiouy" and word[i + 1] in "aeiouy"
+            and not word.startswith("ss", i)
+            and not (i + 2 == len(word) and word[i + 1] == "e")
+            and not word.startswith("sion", i)
+        ):
+            out.append("Z")
+            i += 1
+            continue
+        # "sc" before e/i/y is plain /s/ (science, scene, scissors) — must
+        # outrank the "sc" -> S K digraph
+        if (
+            word.startswith("sc", i) and i + 2 < len(word)
+            and word[i + 2] in "eiy"
+        ):
+            out.append("S")
+            i += 2
+            continue
+        # "ng" + liquid keeps the hard g (single, angry, england)
+        if (
+            word.startswith("ng", i) and i + 2 < len(word)
+            and word[i + 2] in "lr"
+        ):
+            out.extend(["NG", "G"])
+            i += 2
+            continue
+        # word-initial exa-/exi- voices to /gz/ (exact, example, exist)
+        if i == 0 and (word.startswith("exa") or word.startswith("exi")):
+            out.extend(["IH0", "G", "Z"])
+            i = 2
+            continue
+        # open-syllable "u" after labials/velars keeps the glide: music,
+        # human, computer; before "r" the vowel is lax (security, curious);
+        # word-final "-use" keeps its own voicing rule
+        if (
+            word[i] == "u" and i + 2 < len(word)
+            and (i == 0 or word[i - 1] in "mhcfgp")
+            and word[i + 1] not in "aeiouy" and word[i + 2] in "aeiouy"
+            and not (word.startswith("use", i) and i + 3 == len(word))
+            and not word.startswith("ular", i)
+        ):
+            out.extend(["Y", "UH1"] if word[i + 1] == "r" else ["Y", "UW1"])
+            i += 1
+            continue
+        # "ur" + vowel is lax UH R (during, jury), not the ER of "turn"
+        if (
+            word[i] == "u" and i + 2 < len(word) and word[i + 1] == "r"
+            and word[i + 2] in "aeiouy"
+        ):
+            out.append("UH1")
+            i += 1
+            continue
+        # silent u after g before i/e/y: guide, guitar, guest, guy
+        if (
+            word[i] == "g" and i + 2 < len(word) and word[i + 1] == "u"
+            and word[i + 2] in "iey"
+        ):
+            out.append("G")
+            i += 2
+            continue
+        # non-initial "-anger" is the soft nasal of danger/stranger;
+        # "anger" itself (i == 0) keeps the hard g
+        if i > 0 and word.startswith("anger", i) and i + 5 == len(word):
+            out.extend(["EY1", "N", "JH", "ER0"])
+            break
+        # word-final single "e" after a consonant is silent once the word
+        # already has a vowel (maybe -> M EY B, owe -> OW)
+        if (
+            i + 1 == len(word) and word[i] == "e"
+            and any(p[-1:] in "012" for p in out)
+        ):
+            break
+        # open-syllable "u" after coronals is plain UW (duty, student,
+        # stupid, super — American English drops the glide there)
+        if (
+            word[i] == "u" and i + 2 < len(word)
+            and i > 0 and word[i - 1] in "dtsnlrz"
+            and word[i + 1] not in "aeiouyr" and word[i + 2] in "aeiouy"
+            and not (word.startswith("use", i) and i + 3 == len(word))
+        ):
+            out.append("UW1")
+            i += 1
+            continue
+        # "ngu" + vowel keeps hard g + glide: language, penguin, linguist
+        if word.startswith("ngu", i) and (
+            i + 3 == len(word) or word[i + 3] in "aeiouy"
+        ):
+            out.extend(["NG", "G", "W"])
+            i += 3
+            continue
+        # "cc" before e/i reads /ks/: success, accept, accident
+        if (
+            word.startswith("cc", i) and i + 2 < len(word)
+            and word[i + 2] in "eiy"
+        ):
+            out.extend(["K", "S"])
+            i += 2
+            continue
+        # "s" voices before voiced stops/nasals after a vowel: wisdom,
+        # husband
+        if (
+            word[i] == "s" and 0 < i < len(word) - 1
+            and word[i - 1] in "aeiouy" and word[i + 1] in "dbm"
+        ):
+            out.append("Z")
+            i += 1
+            continue
+        # "s" + u + vowel palatalizes after a vowel: usual, casual, visual
+        if (
+            word[i] == "s" and 0 < i < len(word) - 2
+            and word[i - 1] in "aeiouy" and word[i + 1] == "u"
+            and word[i + 2] in "aeiou"
+        ):
+            out.append("ZH")
+            i += 1
+            continue
+        # unstressed final -al/-ol/-il of polysyllables reduces (animal,
+        # symbol, pencil); monosyllables ("pal", "oil") keep full vowels
+        if (
+            i >= 2 and i + 2 == len(word)
+            and word[i] in "aoi" and word[i + 1] == "l"
+            and word[i - 1] not in "aeiou"
+        ):
+            out.extend(["AH0", "L"])
+            break
         # "ear" + consonant is the ER of "earth"/"learn", not the IH R of
         # "ear"/"near"
         if word.startswith("ear", i) and i + 3 < len(word)                 and word[i + 3] not in "aeiouy":
@@ -358,8 +675,12 @@ def letter_to_sound(word: str) -> List[str]:
             i += 3
             continue
         # soft c: "ce/ci/cy" -> S; a word-final "ce" is just /s/ (the e
-        # is silent — "chance", "force"), so consume both letters
-        if word[i] == "c" and i + 1 < len(word) and word[i + 1] in "eiy":
+        # is silent — "chance", "force"), so consume both letters; leave
+        # "-ceive" to its dedicated rule (receive, perceive)
+        if (
+            word[i] == "c" and i + 1 < len(word) and word[i + 1] in "eiy"
+            and not (word.startswith("ceive", i) and i + 5 == len(word))
+        ):
             out.append("S")
             i += 2 if i + 2 == len(word) and word[i + 1] == "e" else 1
             continue
