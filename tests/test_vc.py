@@ -201,3 +201,45 @@ def test_spectral_vc_resamples_rate_mismatched_target(tmp_path):
     audio, sr_out = read_wav(out_path)
     assert sr_out == sr_s
     assert len(audio) > 0 and np.isfinite(audio).all()
+
+
+def test_knn_vc_heldout_speaker_similarity(trained_engine):
+    """Held-out speaker-similarity gate (VERDICT r4 item 9): the speaker
+    profile (mel mean+std) of converted audio must sit closer to the
+    TARGET speaker's profile measured on utterances NEVER in the matching
+    pool than to the source speaker's — i.e. identity actually flips,
+    not just pool statistics.
+
+    Measured 2026-08-18 (vie_tiny PPG features, synthetic speakers
+    f0 150 vs 220): identity-flip margin 3.25x, held-out shift ratio 0.30.
+    Gates at 2.0x / 0.5 so the PPG matching quality can't silently regress.
+    """
+    pool_texts = ["em yêu hoa lá trên núi", "trời hôm nay thật đẹp"]
+    held_texts = ["con chim nhỏ hót vang", "dòng sông xanh êm đềm"]
+    f0_src, f0_tgt = 150.0, 220.0
+
+    def profile(mels):
+        cat = np.concatenate(mels, 0)
+        return np.concatenate([cat.mean(0), cat.std(0)])
+
+    vc = KnnVoiceConverter(engine=trained_engine, k=4)
+    pool_tgt = np.concatenate(
+        [_mel(synth_text(t, f0=f0_tgt, seed=i + 10))
+         for i, t in enumerate(pool_texts)], 0,
+    )
+    src = _mel(synth_text("xin chào bạn tôi yêu nước non", f0=f0_src, seed=0))
+    out = vc.convert_mel(src, pool_tgt)
+
+    held_tgt = profile([_mel(synth_text(t, f0=f0_tgt, seed=i + 20))
+                        for i, t in enumerate(held_texts)])
+    held_src = profile([_mel(synth_text(t, f0=f0_src, seed=i + 20))
+                        for i, t in enumerate(held_texts)])
+    p_out, p_src = profile([out]), profile([src])
+
+    d_out_tgt = np.abs(p_out - held_tgt).mean()
+    d_out_src = np.abs(p_out - held_src).mean()
+    d_src_tgt = np.abs(p_src - held_tgt).mean()
+    # identity flips: output is decisively the target speaker
+    assert d_out_src / d_out_tgt > 2.0, (d_out_src, d_out_tgt)
+    # and conversion moved most of the way to the held-out target profile
+    assert d_out_tgt / d_src_tgt < 0.5, (d_out_tgt, d_src_tgt)
