@@ -241,9 +241,14 @@ class SynthesisEngine:
         # tunnel-bound deploys (~38 dB SNR — opt in where the link, not the
         # chip, is the bottleneck; see tests/test_serve.py for the quality
         # bound and ROADMAP.md for measured RTF).
-        if transfer_codec not in (None, "mulaw8"):
+        if transfer_codec not in (None, "int16", "mulaw8"):
             raise ValueError(f"unknown transfer_codec {transfer_codec!r}")
-        self.transfer_codec = transfer_codec
+        if transfer_codec is None and jax.default_backend() != "cpu":
+            # accelerator deploys are D2H-bound (the serving profile in
+            # ROADMAP.md): mu-law by default halves the dominant cost;
+            # pass transfer_codec="int16" for the lossless wire format
+            transfer_codec = "mulaw8"
+        self.transfer_codec = None if transfer_codec == "int16" else transfer_codec
 
         import threading
 
@@ -536,6 +541,10 @@ class SynthesisEngine:
         pending = deque()
         producer = _dispatch_all()
         exhausted = False
+        # duration totals are fetched for EVERY in-flight batch in one RPC
+        # (each separate fetch pays the tunnel's fixed ~30ms RTT); keyed by
+        # the dispatch tuple's identity
+        lens_cache: Dict[int, np.ndarray] = {}
         while not exhausted or pending:
             while not exhausted and len(pending) < PIPELINE_DEPTH:
                 try:
@@ -544,7 +553,20 @@ class SynthesisEngine:
                     exhausted = True
             batch_idx, L, T_est, outs = pending.popleft()
             audio, mel_lens, total_dur, x, durations = outs
-            total_np = np.asarray(total_dur)[: len(batch_idx)]
+            if id(outs) not in lens_cache:
+                # piggyback only batches whose fused program already
+                # finished (is_ready) — waiting on still-running ones
+                # would serialize the pipeline
+                group = [(id(outs), total_dur)] + [
+                    (id(o), o[3][2])
+                    for o in pending
+                    if getattr(o[3][2], "is_ready", lambda: False)()
+                ]
+                for (k, _), v in zip(
+                    group, jax.device_get([td for _, td in group])
+                ):
+                    lens_cache[k] = v
+            total_np = lens_cache.pop(id(outs))[: len(batch_idx)]
             max_total = int(total_np.max())
             if max_total <= T_est:
                 n_keep = min(max_total, T_est) * self.hop_length

@@ -361,7 +361,13 @@ def test_synthesis_sr_resamples(engine, tmp_path):
     assert abs(len(a_rs) / sr_rs - len(a_ref) / sr_ref) < 0.01
 
 
-def test_http_normalizer_fallback_is_identity_for_non_vie():
+def test_http_normalizer_fallback_is_language_native():
+    """When the HTTP endpoint is down, a non-Vietnamese engine falls back
+    to its OWN language's normalizer — English digits become English words,
+    never Vietnamese ones (round-4: every frontend has a native
+    normalizer, so the old pass-through fallback is obsolete)."""
     eng = _small_engine(language="eng")
     syn = Synthesizer(engine=eng, normalize_url="http://127.0.0.1:1/x")
-    assert syn.normalize.fallback("2026 dogs") == "2026 dogs"
+    assert syn.normalize.fallback("2026 dogs") == "twenty twenty six dogs"
+    # and the full call path (endpoint down -> fallback) normalizes too
+    assert syn.normalize("2026 dogs") == "twenty twenty six dogs"
