@@ -167,9 +167,11 @@ def _inflected_phones(word: str) -> Optional[List[str]]:
                     return phones + ["IH0", "Z"]
                 return phones + _plural_suffix(phones)
 
-    # plural / 3rd-person -s
+    # plural / 3rd-person -s; the base may itself be derived ("viewers"
+    # -> viewer -> view + ER), so fall back to one recursion level
     if word.endswith("s") and not word.endswith("ss"):
-        phones = _lemma_phones(word[:-1])
+        base = word[:-1]
+        phones = _lemma_phones(base) or _inflected_phones(base)
         if phones:
             return phones + _plural_suffix(phones)
 
