@@ -59,6 +59,31 @@ def _phoneme_frames(ph: str, hop: int = 256) -> int:
     return 4 + digest[2] % 3
 
 
+# Tone-dependent f0 contours: (start, end) multiplier across the toned
+# nucleus, linearly interpolated.  Indices follow the "NUCLEUS_t" symbol
+# convention of the VN frontend (0 level ... 5 heavy); Burmese nuclei use
+# the same "_t" shape and get deterministic contours too.  Without these,
+# utterance pitch carries NO text-dependent structure, the trained pitch
+# predictor regresses to the mean, and p_control has nothing to scale
+# (round-4 finding while chasing inert prosody controls).
+_TONE_CONTOURS = {
+    "0": (1.00, 1.00),   # ngang: level
+    "1": (0.96, 1.22),   # rising
+    "2": (1.03, 0.82),   # falling
+    "3": (0.93, 0.74),   # low dipping
+    "4": (0.90, 1.14),   # broken rising
+    "5": (0.96, 0.76),   # heavy falling
+}
+
+
+def _tone_contour(ph: str) -> Tuple[float, float]:
+    if "_" in ph:
+        tone = ph.rsplit("_", 1)[-1]
+        if tone in _TONE_CONTOURS:
+            return _TONE_CONTOURS[tone]
+    return (1.0, 1.0)
+
+
 def synth_phonemes(
     phonemes: Sequence[str],
     f0: float = 180.0,
@@ -76,7 +101,6 @@ def synth_phonemes(
     for ph in phonemes:
         frames = _phoneme_frames(ph, hop)
         n = frames * hop
-        t = (np.arange(n) + pos * hop) / sr
         f1, f2, voiced = _phoneme_signature(ph)
         if ph in _SILENT:
             pieces.append(np.zeros(n, np.float32))
@@ -86,17 +110,22 @@ def synth_phonemes(
         frac = pos / max(n_total, 1)
         cur_f0 = f0 * (1.08 - 0.16 * frac)
         if voiced:
+            # tone contour: f0 glides across the nucleus (phase-integrated
+            # so the chirp is artifact-free)
+            c0, c1 = _tone_contour(ph)
+            f_traj = cur_f0 * np.linspace(c0, c1, n)
+            base_phase = 2 * np.pi * np.cumsum(f_traj) / sr
             sig = np.zeros(n)
             for h in range(1, n_harmonics + 1):
                 fh = h * cur_f0
-                if fh > sr / 2 - 500:
+                if h * f_traj.max() > sr / 2 - 500:
                     break
                 amp = (
                     np.exp(-((fh - f1) ** 2) / (2 * 150.0**2))
                     + 0.7 * np.exp(-((fh - f2) ** 2) / (2 * 250.0**2))
                     + 0.05
                 ) / h**0.3
-                sig = sig + amp * np.sin(2 * np.pi * fh * t + phase[h - 1])
+                sig = sig + amp * np.sin(h * base_phase + phase[h - 1])
         else:
             # band-shaped noise around the resonances
             white = rng.randn(n)
@@ -151,18 +180,31 @@ def make_synthetic_corpus(
     sr: int = 22050,
     sentences: Optional[Sequence[str]] = None,
     phonemize_fn=None,
+    f0_jitter: float = 0.0,
 ) -> List[str]:
     """Write a metadata.csv + wavs/ corpus in the layout the training CLI
     consumes (reference layout: tools_for_data.py:48-77).  Each sentence is
-    rendered once per speaker at that speaker's base f0."""
+    rendered once per speaker at that speaker's base f0.
+
+    ``f0_jitter`` > 0 scales each utterance's f0 by a deterministic random
+    factor in [1-j, 1+j].  Without it, pitch is fully determined by the
+    speaker id and a trained model can ignore its pitch-conditioning path
+    entirely — p_control then has no audible effect (round-4 finding)."""
     speakers = speakers or {"nu": 220.0, "nam": 150.0}
     sents = list(sentences or make_sentences(n_sentences, seed=seed))
     os.makedirs(os.path.join(root, "wavs"), exist_ok=True)
+    jit_rng = np.random.RandomState(seed + 12345)
     rows = []
     for i, text in enumerate(sents):
         for spk, f0 in speakers.items():
+            mult = (
+                1.0 + f0_jitter * (2.0 * jit_rng.rand() - 1.0)
+                if f0_jitter
+                else 1.0
+            )
             audio = synth_text(
-                text, f0=f0, sr=sr, seed=seed + i, phonemize_fn=phonemize_fn
+                text, f0=f0 * mult, sr=sr, seed=seed + i,
+                phonemize_fn=phonemize_fn,
             )
             name = f"{spk}_{i:03d}.wav"
             write_wav(os.path.join(root, "wavs", name), audio, sr)

@@ -75,12 +75,30 @@ def main(argv=None):
     mos_text = MOS_TEXTS[eng.language]
     audio = eng.synthesize(mos_text, silence_distance=0.0)
     score = scorer(audio.astype(np.float32) / 32768.0, eng.sample_rate)
-    with open(os.path.join(golden, "mos.json"), "w") as f:
+    # keep the old baselines as history so calibration drift across
+    # retrains stays visible and the CI gate's 0.2 threshold can be
+    # re-judged against how much each regen actually moved (VERDICT r4
+    # item 10)
+    mos_path = os.path.join(golden, "mos.json")
+    history = []
+    if os.path.exists(mos_path):
+        with open(mos_path) as f:
+            old = json.load(f)
+        history = old.get("history", [])
+        history.append(
+            {
+                "mos_proxy": old.get("mos_proxy"),
+                "measured": old.get("measured"),
+                "delta_to_next": round(float(score) - old.get("mos_proxy", 0.0), 3),
+            }
+        )
+    with open(mos_path, "w") as f:
         json.dump(
             {
                 "mos_proxy": round(float(score), 3),
                 "text": mos_text,
                 "measured": datetime.date.today().isoformat(),
+                "history": history,
             },
             f,
             ensure_ascii=False,

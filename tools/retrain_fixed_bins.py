@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--acoustic-steps", type=int, default=4000)
     ap.add_argument("--platform", default=None, help="e.g. cpu to force CPU")
     ap.add_argument(
+        "--f0-jitter", type=float, default=0.2,
+        help="per-utterance f0 variation so the pitch-conditioning path is "
+        "load-bearing (0 reproduces the round-3 speaker-determined corpus)",
+    )
+    ap.add_argument(
         "--old-workdir",
         default=None,
         help="round-3 workdir holding the trained vocoder ckpt "
@@ -60,8 +65,10 @@ def main(argv=None):
     from make_tiny_bundle import tiny_config
 
     name, lang = args.name, args.lang
-    corpus = f"/tmp/tiny_corpus_{name}"
-    workdir = os.path.join(REPO, "outputs", f"r4_work_{name}")
+    # "t" = tone-contour renderer (synthetic.py _TONE_CONTOURS)
+    jit_tag = f"_j{int(args.f0_jitter * 100)}t" if args.f0_jitter else "_t"
+    corpus = f"/tmp/tiny_corpus_{name}{jit_tag}"
+    workdir = os.path.join(REPO, "outputs", f"r4_work_{name}{jit_tag}")
     old_workdir = args.old_workdir or os.path.join(
         REPO, "outputs", "r3_workdirs", name
     )
@@ -85,7 +92,9 @@ def main(argv=None):
                 "sentences": make_sentences(48, seed=0, vocab=vocab),
                 "phonemize_fn": lambda s: fe.phonemize(s)[0],
             }
-        make_synthetic_corpus(corpus, n_sentences=48, seed=0, **kw)
+        make_synthetic_corpus(
+            corpus, n_sentences=48, seed=0, f0_jitter=args.f0_jitter, **kw
+        )
         print(f"[r4] corpus regenerated -> {corpus}", flush=True)
 
     # 2. fresh workdir + prepare (recomputes stats with the fixed domain)
