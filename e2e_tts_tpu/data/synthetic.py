@@ -76,11 +76,22 @@ _TONE_CONTOURS = {
 }
 
 
+# ARPAbet stress -> f0 level (English has stress accent, not lexical
+# tone): stressed syllables ride higher, unstressed reduce
+_STRESS_CONTOURS = {
+    "1": (1.12, 1.16),  # primary stress: high, slightly rising
+    "2": (1.04, 1.06),  # secondary
+    "0": (0.92, 0.90),  # unstressed: low
+}
+
+
 def _tone_contour(ph: str) -> Tuple[float, float]:
     if "_" in ph:
         tone = ph.rsplit("_", 1)[-1]
         if tone in _TONE_CONTOURS:
             return _TONE_CONTOURS[tone]
+    if ph[-1:] in _STRESS_CONTOURS and any(c.isalpha() for c in ph):
+        return _STRESS_CONTOURS[ph[-1:]]
     return (1.0, 1.0)
 
 
