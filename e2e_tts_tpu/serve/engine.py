@@ -256,6 +256,43 @@ class SynthesisEngine:
         self._stage2_cache = {}
         self._cache_lock = threading.Lock()  # concurrent serving threads
         self.n_programs_compiled = 0
+        # online frames-per-phoneme estimate for the fused fast path's mel
+        # bucket: starts conservative (FRAMES_PER_PHONEME_EST) and calibrates
+        # toward the served voice's observed maximum ratio, so the fused
+        # program stops decoding/vocoding frames the trim will discard.
+        # Underestimates are safe: the stage-2 overflow path re-renders at
+        # the right bucket (stage 1 never reruns).  Benign data race under
+        # concurrent serving threads (it is a heuristic scalar).
+        #
+        # _fpp is the value the dispatcher USES; _fpp_ema tracks observations
+        # continuously but only replaces _fpp when it has drifted by a full
+        # hysteresis band.  A per-request moving estimate would walk T_est
+        # across mel-bucket boundaries call after call, and every crossing
+        # costs a fused-program compile (tens of seconds on TPU) — so the
+        # estimator jumps once on the first observation of the voice, then
+        # stays put unless the voice's statistics genuinely move.
+        self._fpp = float(FRAMES_PER_PHONEME_EST)
+        self._fpp_ema = float(FRAMES_PER_PHONEME_EST)
+        self._fpp_nobs = 0
+
+    _FPP_MIN, _FPP_MAX = 3.0, 16.0
+    _FPP_HYSTERESIS = 0.75
+
+    def _observe_fpp(self, obs: float) -> None:
+        """Fold one observed batch-max frames/phoneme ratio into the fused
+        fast path's mel-bucket estimator (see __init__ for the hysteresis
+        rationale)."""
+        obs = min(self._FPP_MAX, max(self._FPP_MIN, obs))
+        if self._fpp_nobs == 0:
+            # first contact with this voice: adopt the observation outright
+            # (the static default can be ~2x off, wasting decoder/vocoder
+            # work on frames the trim discards)
+            self._fpp_ema = self._fpp = obs
+        else:
+            self._fpp_ema = 0.8 * self._fpp_ema + 0.2 * obs
+            if abs(self._fpp_ema - self._fpp) > self._FPP_HYSTERESIS:
+                self._fpp = self._fpp_ema
+        self._fpp_nobs += 1
 
     # --- transfer codec -----------------------------------------------------
 
@@ -269,12 +306,23 @@ class SynthesisEngine:
             return jnp.round((y + 1.0) * 127.5).astype(jnp.uint8)
         return jnp.clip(x * 32767.0, -32768, 32767).astype(jnp.int16)
 
+    # mu-law decode as a 256-entry lookup (the wire dtype is uint8): a
+    # gather per sample instead of a transcendental — the host decode sits
+    # on the serving drain's critical path at millions of samples/request
+    _MULAW_LUT: Optional[np.ndarray] = None
+
+    @classmethod
+    def _mulaw_lut(cls) -> np.ndarray:
+        if cls._MULAW_LUT is None:
+            y = np.arange(256, dtype=np.float32) / 127.5 - 1.0
+            x = np.sign(y) * (np.power(1.0 + cls._MU, np.abs(y)) - 1.0) / cls._MU
+            cls._MULAW_LUT = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+        return cls._MULAW_LUT
+
     def _decode_transfer(self, arr: np.ndarray) -> np.ndarray:
         """Host-side: wire dtype -> int16 waveform."""
         if self.transfer_codec == "mulaw8":
-            y = arr.astype(np.float32) / 127.5 - 1.0
-            x = np.sign(y) * (np.power(1.0 + self._MU, np.abs(y)) - 1.0) / self._MU
-            return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+            return self._mulaw_lut()[arr]
         return arr
 
     # --- multi-host helpers -------------------------------------------------
@@ -519,13 +567,15 @@ class SynthesisEngine:
                         speakers[row] = spk_of[i]
 
                     # fast path: one fused dispatch at an estimated mel
-                    # bucket (~8 frames/phoneme of typical speech, scaled by
-                    # d_control).  Only the (B,) duration totals are fetched
-                    # to validate the estimate; the stage-1 activations stay
-                    # on device so an overflow finishes via stage 2 alone —
-                    # stage 1 never runs twice.
+                    # bucket — the calibrated frames/phoneme ratio times the
+                    # batch's REAL max text length (not the padded bucket L),
+                    # scaled by d_control, with 20% headroom.  Only the (B,)
+                    # duration totals are fetched to validate the estimate;
+                    # the stage-1 activations stay on device so an overflow
+                    # finishes via stage 2 alone — stage 1 never runs twice.
+                    Lmax = int(lens.max())
                     T_est = _mel_bucket(
-                        int(FRAMES_PER_PHONEME_EST * L * max(d, 1.0))
+                        int(self._fpp * 1.2 * Lmax * max(d, 1.0))
                     )
                     if self._multihost:
                         speakers, texts, lens = (
@@ -536,7 +586,7 @@ class SynthesisEngine:
                         self.acoustic_params, self._voc_params,
                         speakers, texts, lens, pc, ec, dc,
                     )
-                    yield (batch_idx, L, T_est, outs)
+                    yield (batch_idx, L, Lmax, T_est, outs)
 
         pending = deque()
         producer = _dispatch_all()
@@ -551,16 +601,16 @@ class SynthesisEngine:
                     pending.append(next(producer))
                 except StopIteration:
                     exhausted = True
-            batch_idx, L, T_est, outs = pending.popleft()
+            batch_idx, L, Lmax, T_est, outs = pending.popleft()
             audio, mel_lens, total_dur, x, durations = outs
             if id(outs) not in lens_cache:
                 # piggyback only batches whose fused program already
                 # finished (is_ready) — waiting on still-running ones
                 # would serialize the pipeline
                 group = [(id(outs), total_dur)] + [
-                    (id(o), o[3][2])
+                    (id(o), o[4][2])
                     for o in pending
-                    if getattr(o[3][2], "is_ready", lambda: False)()
+                    if getattr(o[4][2], "is_ready", lambda: False)()
                 ]
                 for (k, _), v in zip(
                     group, jax.device_get([td for _, td in group])
@@ -568,8 +618,17 @@ class SynthesisEngine:
                     lens_cache[k] = v
             total_np = lens_cache.pop(id(outs))[: len(batch_idx)]
             max_total = int(total_np.max())
+            # calibrate the fused-path mel-bucket estimator on what this
+            # voice actually predicts (batch-max ratio)
+            self._observe_fpp(max_total / max(Lmax * max(d, 1.0), 1.0))
+            # device-side slices are rounded UP to 64-frame steps before the
+            # fetch: the per-shape sliced-fetch executables then cache across
+            # requests (an exact max_total slice is a fresh shape — and a
+            # fresh compile — nearly every call), for at most 64*hop extra
+            # wire samples per row; rows are trimmed exactly on the host.
             if max_total <= T_est:
-                n_keep = min(max_total, T_est) * self.hop_length
+                keep = min(-(-max_total // 64) * 64, T_est)
+                n_keep = keep * self.hop_length
                 # one RPC for both arrays: each fetch pays the tunnel's
                 # fixed ~30ms RTT, so audio + lens ride together
                 audio_np, mel_lens_np = jax.device_get(
@@ -580,8 +639,9 @@ class SynthesisEngine:
                 audio, mel_lens = self._stage2(L, T)(
                     self.acoustic_params, self._voc_params, x, durations, pc, ec
                 )
+                keep = min(-(-max_total // 64) * 64, T)
                 audio_np, mel_lens_np = jax.device_get(
-                    (audio[:, : max_total * self.hop_length], mel_lens)
+                    (audio[:, : keep * self.hop_length], mel_lens)
                 )
             else:
                 # Some chunk predicts more frames than any bucket holds:

@@ -310,6 +310,59 @@ def test_mulaw_codec_roundtrip_bounds():
     assert eng2._decode_transfer(wire2) is wire2
 
 
+def test_mulaw_lut_matches_formula():
+    """The 256-entry decode LUT must equal the closed-form expansion the
+    encoder inverts (the LUT replaced a per-sample transcendental on the
+    serving drain's critical path)."""
+    lut = SynthesisEngine._mulaw_lut()
+    mu = SynthesisEngine._MU
+    y = np.arange(256, dtype=np.float32) / 127.5 - 1.0
+    x = np.sign(y) * (np.power(1.0 + mu, np.abs(y)) - 1.0) / mu
+    ref = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+    assert lut.dtype == np.int16 and lut.shape == (256,)
+    np.testing.assert_array_equal(lut, ref)
+
+
+def test_fused_bucket_estimator_calibrates(engine):
+    """The fused fast path's mel bucket calibrates toward the voice's
+    observed frames/phoneme ratio (random weights predict near-zero
+    durations, so the estimate must fall from its conservative start)
+    WITHOUT changing the rendered audio: the estimator only picks the
+    compute bucket; trims are exact per row."""
+    text = "xin chào việt nam hôm nay trời đẹp quá"
+    from e2e_tts_tpu.serve.engine import FRAMES_PER_PHONEME_EST
+
+    engine._fpp = engine._fpp_ema = float(FRAMES_PER_PHONEME_EST)
+    engine._fpp_nobs = 0
+    ref = engine.synthesize(text, silence_distance=0.0)
+    calibrated = engine._fpp
+    assert 3.0 <= calibrated < FRAMES_PER_PHONEME_EST  # jumped to observed
+    again = engine.synthesize(text, silence_distance=0.0)
+    assert len(ref) == len(again)
+    # a different compute bucket may tile reductions differently; the audio
+    # itself must agree to the wire format's LSB
+    assert np.max(np.abs(ref.astype(np.int32) - again.astype(np.int32))) <= 1
+
+
+def test_fused_bucket_estimator_hysteresis():
+    """After the first-observation jump, small fluctuations must NOT move
+    the used estimate: every move can cross a mel-bucket boundary, and a
+    crossing costs a fused-program recompile (tens of seconds on TPU)."""
+    eng = object.__new__(SynthesisEngine)
+    eng._fpp = eng._fpp_ema = 8.0
+    eng._fpp_nobs = 0
+    eng._observe_fpp(5.0)
+    assert eng._fpp == 5.0  # first observation adopted outright
+    for obs in (5.3, 4.8, 5.2, 4.9, 5.1):
+        eng._observe_fpp(obs)
+        assert eng._fpp == 5.0  # within hysteresis: used value pinned
+    for _ in range(30):  # sustained shift: estimator must follow
+        eng._observe_fpp(9.0)
+    assert eng._fpp > 7.0
+    eng._observe_fpp(50.0)
+    assert eng._fpp_ema <= eng._FPP_MAX  # observations are clamped
+
+
 def test_unknown_transfer_codec_raises():
     with pytest.raises(ValueError):
         _small_engine(transfer_codec="opus")
