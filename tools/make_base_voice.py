@@ -60,6 +60,11 @@ def main(argv=None):
     ap.add_argument("--vocoder-steps", type=int, default=4000)
     ap.add_argument("--e2e-steps", type=int, default=0)
     ap.add_argument("--sentences", type=int, default=300)
+    ap.add_argument(
+        "--f0-jitter", type=float, default=0.2,
+        help="per-utterance f0 variation (tonal-contour renderer included); "
+        "keeps the pitch-conditioning path load-bearing at scale too",
+    )
     ap.add_argument("--corpus", default="/tmp/base_corpus")
     ap.add_argument("--workdir", default="/tmp/base_work")
     ap.add_argument("--bundle", default="/tmp/vie_base_bundle")
@@ -71,7 +76,10 @@ def main(argv=None):
 
     if not os.path.exists(os.path.join(args.corpus, "metadata.csv")):
         t0 = time.time()
-        make_synthetic_corpus(args.corpus, n_sentences=args.sentences, seed=0)
+        make_synthetic_corpus(
+            args.corpus, n_sentences=args.sentences, seed=0,
+            f0_jitter=args.f0_jitter,
+        )
         print(f"[base] corpus ({args.sentences} sents x 2 spk) "
               f"-> {args.corpus} in {time.time() - t0:.0f}s")
 

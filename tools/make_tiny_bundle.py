@@ -106,6 +106,18 @@ def main(argv=None):
     ap.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     ap.add_argument("--acoustic-steps", type=int, default=4000)
     ap.add_argument("--vocoder-steps", type=int, default=3000)
+    ap.add_argument(
+        "--e2e-steps", type=int, default=2000,
+        help="frozen-acoustic vocoder fine-tune on predicted mels (the "
+        "round-3 winning recipe: --am-lr-scale 0 + adversarial weight held "
+        "at zero); 0 skips the stage",
+    )
+    ap.add_argument(
+        "--f0-jitter", type=float, default=0.2,
+        help="per-utterance f0 variation; without it pitch is fully "
+        "speaker-determined and the decoder learns to ignore the pitch "
+        "embedding (prosody-control root cause, VERDICT r4 item 2)",
+    )
     ap.add_argument("--corpus", default=None, help="reuse an existing corpus dir")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args(argv)
@@ -114,8 +126,9 @@ def main(argv=None):
     from e2e_tts_tpu.data.synthetic import make_synthetic_corpus
     from e2e_tts_tpu.train.cli import main as cli
 
-    corpus = args.corpus or f"/tmp/tiny_corpus_{args.name}"
-    workdir = args.workdir or f"/tmp/tiny_work_{args.name}"
+    jit_tag = f"_j{int(args.f0_jitter * 100)}t" if args.f0_jitter else "_t"
+    corpus = args.corpus or f"/tmp/tiny_corpus_{args.name}{jit_tag}"
+    workdir = args.workdir or f"/tmp/tiny_work_{args.name}{jit_tag}"
     bundle = os.path.join(REPO, "assets", "bundles", args.name)
     golden_dir = os.path.join(REPO, "tests", "assets", f"golden_{args.name}")
 
@@ -135,7 +148,9 @@ def main(argv=None):
         }
 
     if not os.path.exists(os.path.join(corpus, "metadata.csv")):
-        make_synthetic_corpus(corpus, n_sentences=48, seed=0, **lang_kw)
+        make_synthetic_corpus(
+            corpus, n_sentences=48, seed=0, f0_jitter=args.f0_jitter, **lang_kw
+        )
         print(f"[tiny] corpus -> {corpus}")
 
     cfg = tiny_config()
@@ -151,9 +166,23 @@ def main(argv=None):
         ["--steps", str(args.acoustic_steps), "--ckpt-every", "1000"])
     cli(["vocoder"] + common +
         ["--steps", str(args.vocoder_steps), "--ckpt-every", "1000"])
+    if args.e2e_steps:
+        cli(["e2e"] + common + lang_flag +
+            ["--steps", str(args.e2e_steps), "--ckpt-every", "1000",
+             "--am-lr-scale", "0.0", "--adv-warmup", "1000000"])
     cli(["export", "--output", bundle] + common + lang_flag)
 
     # ---- golden snapshots ---------------------------------------------------
+    # goldens must match the CPU test environment; a TPU-rendered golden
+    # diverges past the gate's tolerance (see tools/regen_golden.py docstring)
+    import jax
+
+    if jax.default_backend() != "cpu":
+        raise SystemExit(
+            "golden snapshots must be generated on CPU: launch with "
+            "JAX_PLATFORMS=cpu on the shell command line (an in-script env "
+            "var is too late — sitecustomize imports jax first)"
+        )
     from e2e_tts_tpu.audio.mel import MelParams, mel_spectrogram
     from e2e_tts_tpu.serve import SynthesisEngine
 

@@ -4,10 +4,15 @@ improved fine-tune (e.g. shipping an e2e-fine-tuned vocoder, VERDICT r3
 item 2) so the quality regressions in tests/test_quality.py re-anchor on
 the new, better voice.
 
-Run on CPU (the test environment) so the golden mels/scores match what CI
-measures:
+Goldens MUST be generated on CPU (the test environment): CI forces the CPU
+platform, and TPU-rendered audio diverges far beyond the gate's tolerance
+(bf16 decoder numerics shift duration rounding, time-misaligning the mel —
+measured MAE ~1.0 vs the CPU gate's 0.15).  The platform is forced below via
+jax.config.update: a JAX_PLATFORMS env var set inside a script is silently
+ignored in this environment because the interpreter's sitecustomize imports
+jax (with JAX_PLATFORMS=axon) before any user code runs.
 
-  JAX_PLATFORMS=cpu python tools/regen_golden.py --name vie_tiny
+  python tools/regen_golden.py --name vie_tiny
 """
 
 from __future__ import annotations
@@ -48,6 +53,12 @@ def main(argv=None):
     golden = args.golden or os.path.join(
         REPO, "tests", "assets", f"golden_{args.name}"
     )
+
+    # force the CPU platform (see module docstring: env vars are too late
+    # here — sitecustomize already imported jax)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     from e2e_tts_tpu.audio.mel import MelParams, mel_spectrogram
     from e2e_tts_tpu.serve import SynthesisEngine
