@@ -24,15 +24,33 @@ sys.path.insert(0, REPO)
 
 
 def make_dataset(n_clips: int, seed: int = 0):
-    """Pre-rendered clean clips (float32 at 22050)."""
+    """Pre-rendered clean clips (float32 at 22050) from ALL served
+    languages' renderers.  A vie-only clean set leaves eng/mya pristine
+    speech out-of-distribution and caps their scores near 3.4 (measured) —
+    the per-language quality gates then compare against a depressed
+    ceiling.  Mixing the renderers anchors 'pristine' at the top of the
+    scale for every frontend the router serves."""
     from e2e_tts_tpu.data.synthetic import make_sentences, synth_text
+    from e2e_tts_tpu.text.burmese import BURMESE_VOCAB
+    from e2e_tts_tpu.text.english import ENGLISH_VOCAB
+    from e2e_tts_tpu.text.frontends import get_frontend
 
+    langs = [
+        ("vie", None, None),
+        ("eng", ENGLISH_VOCAB, get_frontend("eng")),
+        ("mya", BURMESE_VOCAB, get_frontend("mya")),
+    ]
     rng = np.random.RandomState(seed)
-    sents = make_sentences(n_clips, seed=seed)
     clips = []
-    for i, s in enumerate(sents):
-        f0 = rng.uniform(120.0, 260.0)
-        clips.append(synth_text(s, f0=f0, seed=seed + i))
+    for li, (lang, vocab, fe) in enumerate(langs):
+        n = n_clips // len(langs) + (1 if li < n_clips % len(langs) else 0)
+        sents = make_sentences(n, seed=seed + li, vocab=vocab)
+        pfn = (lambda s, fe=fe: fe.phonemize(s)[0]) if fe else None
+        for i, s in enumerate(sents):
+            f0 = rng.uniform(120.0, 260.0)
+            clips.append(
+                synth_text(s, f0=f0, seed=seed + li * 1000 + i, phonemize_fn=pfn)
+            )
     return clips
 
 
