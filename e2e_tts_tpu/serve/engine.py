@@ -168,6 +168,24 @@ class SynthesisEngine:
             self._shard_bat = NamedSharding(self.serve_mesh, P("data"))
             # every batch must fill the mesh evenly
             self.batch_size = -(-batch_size // serving_devices) * serving_devices
+        # occupancy row buckets: a partially-filled batch dispatches at the
+        # smallest bucket that holds its real rows (compute and D2H payload
+        # scale with occupancy instead of always paying the full batch_size
+        # rectangle).  Coarse powers-of-two bound the per-bucket compiles;
+        # on a serving mesh every bucket must still fill the mesh evenly.
+        def _mesh_round(n: int) -> int:
+            if self.serve_mesh is None:
+                return n
+            d = self.serve_mesh.shape["data"]
+            return -(-n // d) * d
+
+        self._row_buckets = sorted(
+            {
+                _mesh_round(max(1, self.batch_size // 4)),
+                _mesh_round(max(1, self.batch_size // 2)),
+                self.batch_size,
+            }
+        )
         self.foreign_dict = foreign_dict or {}
         self.hop_length = config.audio.stft.hop_length
         self.sample_rate = config.audio.signal.sampling_rate
@@ -274,6 +292,13 @@ class SynthesisEngine:
         self._fpp = float(FRAMES_PER_PHONEME_EST)
         self._fpp_ema = float(FRAMES_PER_PHONEME_EST)
         self._fpp_nobs = 0
+        # companion estimator for the compact-fetch slice: MEAN frames per
+        # phoneme over the whole batch (sum ratio).  The max-ratio _fpp
+        # would overshoot the flat buffer's realized fill by the max/mean
+        # spread and forfeit most of the compaction payload win.
+        self._fpp_sum = float(FRAMES_PER_PHONEME_EST)
+        self._fpp_sum_ema = float(FRAMES_PER_PHONEME_EST)
+        self._fpp_sum_nobs = 0
 
     _FPP_MIN, _FPP_MAX = 3.0, 16.0
     _FPP_HYSTERESIS = 0.75
@@ -293,6 +318,20 @@ class SynthesisEngine:
             if abs(self._fpp_ema - self._fpp) > self._FPP_HYSTERESIS:
                 self._fpp = self._fpp_ema
         self._fpp_nobs += 1
+
+    def _observe_fpp_sum(self, obs: float) -> None:
+        """Fold one observed batch-MEAN frames/phoneme ratio into the
+        compact-fetch slice estimator (same first-jump + hysteresis scheme
+        as ``_observe_fpp``; a drifting estimate would mint a fresh slice
+        executable per call)."""
+        obs = min(self._FPP_MAX, max(1.0, obs))
+        if self._fpp_sum_nobs == 0:
+            self._fpp_sum_ema = self._fpp_sum = obs
+        else:
+            self._fpp_sum_ema = 0.8 * self._fpp_sum_ema + 0.2 * obs
+            if abs(self._fpp_sum_ema - self._fpp_sum) > self._FPP_HYSTERESIS:
+                self._fpp_sum = self._fpp_sum_ema
+        self._fpp_sum_nobs += 1
 
     # --- transfer codec -----------------------------------------------------
 
@@ -373,6 +412,12 @@ class SynthesisEngine:
         if len(outs) == 1:
             outs = outs[0]
         return jax.jit(fn, in_shardings=ins, out_shardings=outs)
+
+    def _row_bucket(self, n_rows: int) -> int:
+        for b in self._row_buckets:
+            if n_rows <= b:
+                return b
+        return self.batch_size
 
     def _stage1(self, L: int):
         with self._cache_lock:
@@ -455,17 +500,64 @@ class SynthesisEngine:
                 )
                 audio = self._voc_apply(vparams, mel)
                 total_dur = jnp.sum(durations, axis=-1)
-                return self._encode_transfer(audio), mel_lens, total_dur, x, durations
+                codes = self._encode_transfer(audio)
+                # row-compact the wire codes: concatenate every row's valid
+                # samples into one flat buffer.  The drain then fetches
+                # flat[:k] at a host-estimated total length — the bucket's
+                # per-row padding (up to ~40% of the rectangle) never rides
+                # the wire, and no device round trip is needed to learn the
+                # realized lengths first.  One gather over the bucket; the
+                # tail beyond the realized total is zeros.
+                # Compaction runs at FRAME granularity: rows trim on frame
+                # boundaries, so a (B*T, hop) row-gather moves hop-wide
+                # contiguous blocks per index — a per-SAMPLE gather here
+                # measured ~30 ms on v5e at B=32/T=256 (scalar gathers
+                # crawl on TPU); the frame-wise form is bandwidth-bound.
+                B = codes.shape[0]
+                frames = codes.reshape(B * T, self.hop_length)
+                offs = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     jnp.cumsum(mel_lens.astype(jnp.int32))]
+                )
+                j = jnp.arange(B * T, dtype=jnp.int32)
+                row = jnp.clip(
+                    jnp.searchsorted(offs, j, side="right") - 1, 0, B - 1
+                )
+                src = row * T + jnp.clip(j - offs[row], 0, T - 1)
+                flat = jnp.where(
+                    (j < offs[-1])[:, None], frames[src], 0
+                ).astype(codes.dtype).reshape(-1)
+                return flat, mel_lens, total_dur, x, durations
 
             self._stage2_cache[key] = self._serve_jit(
                 fn,
                 in_batched=(
                     False, False, True, True, True, False, False, False,
                 ),
-                out_batched=(True, True, True, True, True),
+                # flat mixes rows, so it replicates on a serving mesh (the
+                # in-program all-gather is ICI-cheap next to the D2H link)
+                out_batched=(False, True, True, True, True),
             )
             self.n_programs_compiled += 1
         return self._stage2_cache[key]
+
+    # compact-fetch slice executables: k is aligned to 1/8 of the flat
+    # buffer so at most 8 variants exist per fused bucket (each distinct k
+    # is a fresh — if trivial — XLA program; unaligned k would mint one per
+    # request).  The tail variant covers an estimator undershoot.
+    def _flat_slice(self, n_total: int, k: int):
+        key = ("slice", n_total, k)
+        with self._cache_lock:
+            if key not in self._stage2_cache:
+                self._stage2_cache[key] = jax.jit(lambda f: f[:k])
+            return self._stage2_cache[key]
+
+    def _flat_slice_tail(self, n_total: int, k0: int, k1: int):
+        key = ("slice", n_total, k0, k1)
+        with self._cache_lock:
+            if key not in self._stage2_cache:
+                self._stage2_cache[key] = jax.jit(lambda f: f[k0:k1])
+            return self._stage2_cache[key]
 
     # --- public API --------------------------------------------------------
 
@@ -542,10 +634,15 @@ class SynthesisEngine:
 
         # Pipelined dispatch/drain: up to PIPELINE_DEPTH fused batches are in
         # flight at once (XLA execution is async, so batch k+1 computes while
-        # batch k's results cross the host link); the drain fetches only the
-        # (B,) duration totals eagerly, and audio is sliced ON DEVICE to the
-        # longest real row before the D2H copy, so padded bucket tail never
-        # rides the tunnel (the serving bottleneck is D2H, not compute).
+        # batch k's results cross the host link), and each in-flight window
+        # drains with ONE device_get carrying audio + mel lens + duration
+        # totals for every batch in it.  On a tunneled deploy each RPC pays
+        # a fixed round trip (measured ~40 ms here vs ~3 ms co-located), so
+        # the drain minimizes ROUND TRIPS first: the audio is fetched
+        # speculatively at the full estimated bucket rather than re-sliced
+        # to the realized max duration — with the calibrated frames/phoneme
+        # estimator the bucket headroom costs less wire time than the extra
+        # round trip + slice-program dispatch it replaces.
         # The depth bound caps in-flight device memory for book-length input.
         from collections import deque
 
@@ -557,7 +654,12 @@ class SynthesisEngine:
             for L, idxs in groups.items():
                 for s in range(0, len(idxs), self.batch_size):
                     batch_idx = idxs[s : s + self.batch_size]
-                    B = self.batch_size
+                    # occupancy row bucket: a batch with few real rows
+                    # computes and ships a few-row program instead of
+                    # padding to the full batch_size rectangle (compute
+                    # AND payload scale with occupancy; jit compiles per
+                    # row bucket, so buckets are coarse powers of two)
+                    B = self._row_bucket(len(batch_idx))
                     texts = np.zeros((B, L), np.int32)
                     lens = np.ones((B,), np.int32)  # dummy rows: length 1
                     speakers = np.zeros((B,), np.int32)
@@ -577,6 +679,7 @@ class SynthesisEngine:
                     T_est = _mel_bucket(
                         int(self._fpp * 1.2 * Lmax * max(d, 1.0))
                     )
+                    sum_lens = int(lens.sum())
                     if self._multihost:
                         speakers, texts, lens = (
                             self._put_global(a, True)
@@ -586,82 +689,125 @@ class SynthesisEngine:
                         self.acoustic_params, self._voc_params,
                         speakers, texts, lens, pc, ec, dc,
                     )
-                    yield (batch_idx, L, Lmax, T_est, outs)
+                    # compact fetch: slice the flat code buffer at the
+                    # host-estimated realized total (mean frames/phoneme x
+                    # total phonemes, 15% headroom) — no device sync needed
+                    # to pick k, and an undershoot fetches only the missing
+                    # tail in a second (small) round trip
+                    capacity = B * T_est * self.hop_length
+                    step = max(capacity // 8, self.hop_length)
+                    est = int(
+                        self._fpp_sum * 1.15 * sum_lens * max(d, 1.0)
+                    ) * self.hop_length
+                    k = min(capacity, -(-max(est, 1) // step) * step)
+                    flat_cut = self._flat_slice(capacity, k)(outs[0])
+                    yield (
+                        batch_idx, L, Lmax, T_est, outs,
+                        flat_cut, k, capacity, step, sum_lens,
+                    )
 
         pending = deque()
         producer = _dispatch_all()
         exhausted = False
-        # duration totals are fetched for EVERY in-flight batch in one RPC
-        # (each separate fetch pays the tunnel's fixed ~30ms RTT); keyed by
-        # the dispatch tuple's identity
-        lens_cache: Dict[int, np.ndarray] = {}
         while not exhausted or pending:
             while not exhausted and len(pending) < PIPELINE_DEPTH:
                 try:
                     pending.append(next(producer))
                 except StopIteration:
                     exhausted = True
-            batch_idx, L, Lmax, T_est, outs = pending.popleft()
-            audio, mel_lens, total_dur, x, durations = outs
-            if id(outs) not in lens_cache:
-                # piggyback only batches whose fused program already
-                # finished (is_ready) — waiting on still-running ones
-                # would serialize the pipeline
-                group = [(id(outs), total_dur)] + [
-                    (id(o), o[4][2])
-                    for o in pending
-                    if getattr(o[4][2], "is_ready", lambda: False)()
+            # ONE round trip drains the whole in-flight window: audio,
+            # mel lens, and duration totals ride together.  device_get
+            # walks the leaves in order, so batch k+1's compute overlaps
+            # batch k's wire copy; the next window dispatches before any
+            # host-side decode below, keeping the device busy.
+            window = list(pending)
+            pending.clear()
+            fetched = jax.device_get(
+                [(o[5], o[4][1], o[4][2]) for o in window]
+            )
+            while not exhausted and len(pending) < PIPELINE_DEPTH:
+                try:
+                    pending.append(next(producer))
+                except StopIteration:
+                    exhausted = True
+            for (
+                batch_idx, L, Lmax, T_est, outs,
+                _flat, k, capacity, step, sum_lens,
+            ), (
+                flat_np,
+                mel_lens_np,
+                total_np,
+            ) in zip(window, fetched):
+                _, _, _, x, durations = outs
+                # per-row sample offsets into the flat buffer (all rows,
+                # dummies included — mirrors the device-side compaction)
+                offs = np.concatenate(
+                    [[0], np.cumsum(mel_lens_np.astype(np.int64))]
+                ) * self.hop_length
+                true_total = int(offs[-1])
+                if true_total > k:
+                    # estimator undershoot: fetch only the missing tail
+                    k1 = min(capacity, -(-true_total // step) * step)
+                    tail_np = jax.device_get(
+                        self._flat_slice_tail(capacity, k, k1)(outs[0])
+                    )
+                    flat_np = np.concatenate([flat_np, tail_np])
+                total_np = total_np[: len(batch_idx)]
+                max_total = int(total_np.max())
+                # calibrate the fused-path mel-bucket estimator on what this
+                # voice actually predicts (batch-max ratio), and the
+                # compact-fetch slice estimator on the batch-mean ratio
+                self._observe_fpp(max_total / max(Lmax * max(d, 1.0), 1.0))
+                self._observe_fpp_sum(
+                    float(mel_lens_np.sum())
+                    / max(sum_lens * max(d, 1.0), 1.0)
+                )
+                over = [
+                    row
+                    for row in range(len(batch_idx))
+                    if int(total_np[row]) > T_est
                 ]
-                for (k, _), v in zip(
-                    group, jax.device_get([td for _, td in group])
-                ):
-                    lens_cache[k] = v
-            total_np = lens_cache.pop(id(outs))[: len(batch_idx)]
-            max_total = int(total_np.max())
-            # calibrate the fused-path mel-bucket estimator on what this
-            # voice actually predicts (batch-max ratio)
-            self._observe_fpp(max_total / max(Lmax * max(d, 1.0), 1.0))
-            # device-side slices are rounded UP to 64-frame steps before the
-            # fetch: the per-shape sliced-fetch executables then cache across
-            # requests (an exact max_total slice is a fresh shape — and a
-            # fresh compile — nearly every call), for at most 64*hop extra
-            # wire samples per row; rows are trimmed exactly on the host.
-            if max_total <= T_est:
-                keep = min(-(-max_total // 64) * 64, T_est)
-                n_keep = keep * self.hop_length
-                # one RPC for both arrays: each fetch pays the tunnel's
-                # fixed ~30ms RTT, so audio + lens ride together
-                audio_np, mel_lens_np = jax.device_get(
-                    (audio[:, :n_keep], mel_lens)
-                )
-            elif max_total <= MAX_MEL_LEN:
-                T = _mel_bucket(max_total)
-                audio, mel_lens = self._stage2(L, T)(
-                    self.acoustic_params, self._voc_params, x, durations, pc, ec
-                )
-                keep = min(-(-max_total // 64) * 64, T)
-                audio_np, mel_lens_np = jax.device_get(
-                    (audio[:, : keep * self.hop_length], mel_lens)
-                )
-            else:
-                # Some chunk predicts more frames than any bucket holds:
-                # re-split the offending sequences at phoneme boundaries
-                # (preferring <SILENT> pauses) and synthesize the pieces
-                # recursively; fitting rows still finish via stage 2.
-                T = _mel_bucket(min(max_total, MAX_MEL_LEN))
-                fit_audio, fit_lens = self._stage2(L, T)(
-                    self.acoustic_params, self._voc_params, x, durations, pc, ec
-                )
-                fit_audio_np = np.asarray(fit_audio)
-                fit_lens_np = np.asarray(fit_lens)
-                for row, i in enumerate(batch_idx):
-                    if int(total_np[row]) <= MAX_MEL_LEN:
-                        n = int(fit_lens_np[row]) * self.hop_length
-                        results[i] = self._decode_transfer(fit_audio_np[row, :n])
-                    else:
-                        pieces = self._split_sequence(
-                            seqs[i], int(total_np[row])
+                if over:
+                    # rows the estimated bucket could not hold re-render via
+                    # stage 2 at the right bucket, capped at MAX_MEL_LEN so
+                    # a degenerate unsplittable row still truncates to the
+                    # largest bucket (stage 1 never reruns); rows that DID
+                    # fit keep the already-fetched audio
+                    T = _mel_bucket(
+                        min(
+                            max(int(total_np[r]) for r in over),
+                            MAX_MEL_LEN,
                         )
+                    )
+                    fit_audio, fit_lens = self._stage2(L, T)(
+                        self.acoustic_params,
+                        self._voc_params,
+                        x,
+                        durations,
+                        pc,
+                        ec,
+                    )
+                    re_audio_np, re_lens_np = jax.device_get(
+                        (fit_audio, fit_lens)
+                    )
+                else:
+                    re_audio_np = re_lens_np = None
+                for row, i in enumerate(batch_idx):
+                    total_row = int(total_np[row])
+                    if total_row <= T_est:
+                        lo, hi = int(offs[row]), int(offs[row + 1])
+                        results[i] = self._decode_transfer(flat_np[lo:hi])
+                    elif total_row <= MAX_MEL_LEN:
+                        n = int(re_lens_np[row]) * self.hop_length
+                        results[i] = self._decode_transfer(
+                            re_audio_np[row, :n]
+                        )
+                    else:
+                        # Some chunk predicts more frames than any bucket
+                        # holds: re-split the offending sequence at phoneme
+                        # boundaries (preferring <SILENT> pauses) and
+                        # synthesize the pieces recursively.
+                        pieces = self._split_sequence(seqs[i], total_row)
                         if len(pieces) <= 1:
                             # cannot split further (degenerate input,
                             # e.g. one phoneme predicting >MAX_MEL_LEN
@@ -670,24 +816,24 @@ class SynthesisEngine:
                             import warnings
 
                             warnings.warn(
-                                f"chunk predicts {int(total_np[row])} mel "
+                                f"chunk predicts {total_row} mel "
                                 f"frames but cannot be split; truncating "
                                 f"to {MAX_MEL_LEN}"
                             )
                             self._emit_event(
                                 "truncation",
-                                predicted_frames=int(total_np[row]),
+                                predicted_frames=total_row,
                                 kept_frames=MAX_MEL_LEN,
                                 seq_len=int(len(seqs[i])),
                             )
-                            n = int(fit_lens_np[row]) * self.hop_length
+                            n = int(re_lens_np[row]) * self.hop_length
                             results[i] = self._decode_transfer(
-                                fit_audio_np[row, :n]
+                                re_audio_np[row, :n]
                             )
                         else:
                             self._emit_event(
                                 "overflow_resplit",
-                                predicted_frames=int(total_np[row]),
+                                predicted_frames=total_row,
                                 pieces=len(pieces),
                                 seq_len=int(len(seqs[i])),
                             )
@@ -695,11 +841,6 @@ class SynthesisEngine:
                                 pieces, int(spk_of[i]), p, e, d
                             )
                             results[i] = np.concatenate(parts)
-                continue
-
-            for row, i in enumerate(batch_idx):
-                n = int(mel_lens_np[row]) * self.hop_length
-                results[i] = self._decode_transfer(audio_np[row, :n])
         return results
 
     def _split_sequence(self, seq: np.ndarray, total_frames: int) -> List[np.ndarray]:

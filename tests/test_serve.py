@@ -344,6 +344,38 @@ def test_fused_bucket_estimator_calibrates(engine):
     assert np.max(np.abs(ref.astype(np.int32) - again.astype(np.int32))) <= 1
 
 
+def test_compact_fetch_tail_path_identical(engine):
+    """The drain fetches the flat compacted wire buffer sliced at a
+    host-estimated total; an estimator UNDERSHOOT must transparently fetch
+    the missing tail and yield bit-identical audio (same programs, same
+    compute — only the fetch slicing differs)."""
+    from e2e_tts_tpu.serve.engine import FRAMES_PER_PHONEME_EST
+
+    texts = ["xin chào việt nam", "hôm nay trời đẹp quá đi", "một hai ba"]
+    ref = engine.synthesize(texts, silence_distance=0.0)
+    # force a gross undershoot: k clamps to one alignment step, the rest
+    # arrives via the tail round trip
+    engine._fpp_sum = engine._fpp_sum_ema = 1.0
+    engine._fpp_sum_nobs = 1_000_000  # hysteresis: calibration can't jump it
+    try:
+        under = engine.synthesize(texts, silence_distance=0.0)
+    finally:
+        engine._fpp_sum = engine._fpp_sum_ema = float(FRAMES_PER_PHONEME_EST)
+        engine._fpp_sum_nobs = 0
+    np.testing.assert_array_equal(ref, under)
+
+
+def test_row_bucket_occupancy(engine):
+    """Partially-filled batches dispatch at the smallest row bucket that
+    holds their real rows (compute/payload scale with occupancy)."""
+    assert engine._row_buckets[-1] == engine.batch_size
+    assert engine._row_bucket(1) == engine._row_buckets[0]
+    assert engine._row_bucket(engine.batch_size) == engine.batch_size
+    assert engine._row_bucket(engine.batch_size + 7) == engine.batch_size
+    for b in engine._row_buckets:
+        assert engine._row_bucket(b) == b
+
+
 def test_fused_bucket_estimator_hysteresis():
     """After the first-observation jump, small fluctuations must NOT move
     the used estimate: every move can cross a mel-bucket boundary, and a
