@@ -70,7 +70,6 @@ def _fused_with_durations(engine, L, T):
 
     key = (id(engine), L, T)
     if key not in _PROGRAMS:
-        from e2e_tts_tpu.models.vocoder import istft_to_audio
 
         def fn(aparams, vparams, speakers, texts, txt_lens, durs):
             x, _pred = engine.acoustic.apply(
@@ -82,11 +81,38 @@ def _fused_with_durations(engine, L, T):
                 method=engine.acoustic.synthesize_stage2,
             )
             audio = engine._voc_apply(vparams, mel)
-            # engine's wire format: int16, or mu-law uint8 when the engine
-            # was built with transfer_codec="mulaw8"
-            return engine._encode_transfer(audio), mel_lens
+            # engine's wire format (int16 / mu-law uint8), row-compacted at
+            # frame granularity into a flat buffer like the production
+            # drain (serve/engine.py _fused): bucket padding never rides
+            # the D2H link — the dominant serving cost on a tunnel
+            codes = engine._encode_transfer(audio)
+            B = codes.shape[0]
+            hop = engine.hop_length
+            frames = codes.reshape(B * T, hop)
+            offs = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(mel_lens.astype(jnp.int32))]
+            )
+            j = jnp.arange(B * T, dtype=jnp.int32)
+            row = jnp.clip(
+                jnp.searchsorted(offs, j, side="right") - 1, 0, B - 1
+            )
+            src = row * T + jnp.clip(j - offs[row], 0, T - 1)
+            flat = jnp.where(
+                (j < offs[-1])[:, None], frames[src], 0
+            ).astype(codes.dtype).reshape(-1)
+            return flat, mel_lens
 
         _PROGRAMS[key] = jax.jit(fn)
+    return _PROGRAMS[key]
+
+
+def _flat_slice(n_total, k):
+    import jax
+
+    key = ("slice", n_total, k)
+    if key not in _PROGRAMS:
+        _PROGRAMS[key] = jax.jit(lambda f: f[:k])
     return _PROGRAMS[key]
 
 
@@ -123,28 +149,40 @@ def dispatch_batches(engine, seqs, rng):
                 0,
             ).astype(np.int32)
             T = _mel_bucket(int(durs.sum(1).max()))
-            audio, mel_lens = _fused_with_durations(engine, L, T)(
+            flat, mel_lens = _fused_with_durations(engine, L, T)(
                 engine.acoustic_params, engine._voc_params,
                 spk, texts, lens, jnp.asarray(durs),
             )
-            out.append((batch_idx, audio, mel_lens))
+            # durations are host-known (injected), so the flat buffer can
+            # be sliced EXACTLY (256-frame aligned for slice-program reuse
+            # across jittered iterations) with no estimator round trip
+            total = int(np.minimum(durs.sum(1), T).sum())
+            k = min(
+                B * T * engine.hop_length,
+                -(-total // 256) * 256 * engine.hop_length,
+            )
+            flat_cut = _flat_slice(B * T * engine.hop_length, k)(flat)
+            out.append((batch_idx, flat_cut, mel_lens))
     return out
 
 
 def drain_batches(engine, n_seqs, dispatched):
-    """Fetch + trim + stitch (host) like production serving."""
+    """Fetch + trim + stitch (host) like production serving: ONE device_get
+    per pipelined drain call (audio + lens together)."""
     results = [None] * n_seqs
     total_frames = 0
     import jax
 
-    for batch_idx, audio, mel_lens in dispatched:
-        audio_np, mel_np = jax.device_get((audio, mel_lens))
+    fetched = jax.device_get([(f, m) for _, f, m in dispatched])
+    for (batch_idx, _, _), (flat_np, mel_np) in zip(dispatched, fetched):
+        offs = np.concatenate(
+            [[0], np.cumsum(mel_np.astype(np.int64))]
+        ) * engine.hop_length
         for row, i in enumerate(batch_idx):
-            n = int(mel_np[row])
             results[i] = engine._decode_transfer(
-                audio_np[row, : n * engine.hop_length]
+                flat_np[int(offs[row]) : int(offs[row + 1])]
             )
-            total_frames += n
+            total_frames += int(mel_np[row])
     out = np.concatenate([r for r in results if r is not None])
     return out, total_frames
 
