@@ -166,6 +166,10 @@ def make_acoustic_batches(
     With ``with_paths``, yields (batch, [wav_path per row]) so offline jobs
     (e.g. predicted-mel generation) can map rows back to utterances.
     """
+    if len(dataset) == 0:
+        raise ValueError(
+            "make_acoustic_batches: empty dataset (no training utterances)"
+        )
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
@@ -299,10 +303,26 @@ def make_vocoder_batches(
     shuffle: bool = True,
     seed: int = 0,
 ) -> Iterator[VocoderBatch]:
+    if len(dataset) == 0:
+        raise ValueError(
+            "make_vocoder_batches: empty dataset (no training utterances)"
+        )
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
     if shuffle:
         rng.shuffle(order)
+    # fill the epoch tail with real utterances (cycled) so a corpus smaller
+    # than batch_size still yields one full fixed-shape batch per epoch —
+    # the same tail treatment the acoustic batcher got in round 3; without
+    # it a tiny corpus yields ZERO batches and the training epoch loop
+    # spins forever
+    tail = (-len(order)) % batch_size
+    if tail:
+        # np.resize repeats the (shuffled) order cyclically, so this also
+        # covers corpora smaller than HALF the batch (a 7-utterance corpus
+        # at batch 16 needs 2.3 cycles — a single order[:tail] append
+        # cannot reach a full batch there)
+        order = np.resize(order, len(order) + tail)
 
     seg, seg_frames, hop = dataset.segment_size, dataset.seg_frames, dataset.hop
     n_mels = dataset.config.audio.mel.channels

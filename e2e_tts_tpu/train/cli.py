@@ -418,6 +418,7 @@ def cmd_vocoder(args):
 
     with mesh:
         while step < args.steps:
+            step_at_epoch_start = step
             for batch in prefetch_iterator(
                 make_vocoder_batches(dataset, batch_size, seed=epoch),
                 size=2,
@@ -438,6 +439,14 @@ def cmd_vocoder(args):
                     ckpt.save(step, state)  # sharded arrays save per-shard
                 if step >= args.steps:
                     break
+            if step == step_at_epoch_start:
+                # an epoch that yields zero batches would spin this loop at
+                # 100% CPU forever (lived experience: a 7-utterance corpus
+                # under the old tail-dropping batcher) — fail loudly instead
+                raise RuntimeError(
+                    "vocoder training epoch produced no batches "
+                    f"({len(dataset)} utterances, batch_size {batch_size})"
+                )
             epoch += 1
     ckpt.save(step, state, wait=True)
     print(f"[vocoder] done at step {step}")

@@ -186,3 +186,24 @@ def test_vocoder_batches(prepared):
     for b in batches:
         assert b.mel.shape == (2, 2048 // 256, 80)
         assert b.audio.shape == (2, 2048)
+
+
+def test_vocoder_batches_tail_cycles_small_corpus(prepared):
+    """A corpus smaller than batch_size must still yield one full batch per
+    epoch by cycling real utterances (before the fix it yielded ZERO
+    batches and the vocoder training epoch loop spun forever — found live
+    on a 4-sentence default-size smoke run)."""
+    entries, _ = prepared
+    ds = VocoderDataset(entries, CFG, segment_size=2048)
+    for big in (len(ds) + 3, 3 * len(ds) + 1):  # incl. >2x the corpus
+        batches = list(make_vocoder_batches(ds, batch_size=big, seed=0))
+        assert len(batches) == 1, big
+        assert batches[0].mel.shape[0] == big
+        assert batches[0].audio.shape[0] == big
+
+
+def test_vocoder_batches_empty_dataset_raises(prepared):
+    entries, _ = prepared
+    ds = VocoderDataset([], CFG, segment_size=2048)
+    with pytest.raises(ValueError, match="empty dataset"):
+        next(make_vocoder_batches(ds, batch_size=2, seed=0))

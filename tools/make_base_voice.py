@@ -65,20 +65,34 @@ def main(argv=None):
         help="per-utterance f0 variation (tonal-contour renderer included); "
         "keeps the pitch-conditioning path load-bearing at scale too",
     )
+    ap.add_argument("--lang", default="vie", choices=["vie", "eng", "mya"])
     ap.add_argument("--corpus", default="/tmp/base_corpus")
     ap.add_argument("--workdir", default="/tmp/base_work")
     ap.add_argument("--bundle", default="/tmp/vie_base_bundle")
     args = ap.parse_args(argv)
 
     from e2e_tts_tpu.config import save_config
-    from e2e_tts_tpu.data.synthetic import make_synthetic_corpus
+    from e2e_tts_tpu.data.synthetic import make_sentences, make_synthetic_corpus
     from e2e_tts_tpu.train.cli import main as cli
 
+    lang_kw = {}
+    if args.lang != "vie":
+        from e2e_tts_tpu.text.frontends import get_frontend
+
+        fe = get_frontend(args.lang)
+        if args.lang == "eng":
+            from e2e_tts_tpu.text.english import ENGLISH_VOCAB as vocab
+        else:
+            from e2e_tts_tpu.text.burmese import BURMESE_VOCAB as vocab
+        lang_kw = {
+            "sentences": make_sentences(args.sentences, seed=0, vocab=vocab),
+            "phonemize_fn": lambda s: fe.phonemize(s)[0],
+        }
     if not os.path.exists(os.path.join(args.corpus, "metadata.csv")):
         t0 = time.time()
         make_synthetic_corpus(
             args.corpus, n_sentences=args.sentences, seed=0,
-            f0_jitter=args.f0_jitter,
+            f0_jitter=args.f0_jitter, **lang_kw,
         )
         print(f"[base] corpus ({args.sentences} sents x 2 spk) "
               f"-> {args.corpus} in {time.time() - t0:.0f}s")
@@ -88,15 +102,17 @@ def main(argv=None):
     cfg_path = os.path.join(args.workdir, "config.yaml")
     save_config(cfg, cfg_path)
     common = ["--workdir", args.workdir, "--config", cfg_path]
+    # the vocoder subcommand is language-agnostic (no --lang flag)
+    lang_flag = ["--lang", args.lang] if args.lang != "vie" else []
 
     timings = {}
     if not os.path.exists(os.path.join(args.workdir, "file_list.txt")):
         t0 = time.time()
-        cli(["prepare", "--corpus", args.corpus] + common)
+        cli(["prepare", "--corpus", args.corpus] + common + lang_flag)
         timings["prepare_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    cli(["acoustic"] + common + [
+    cli(["acoustic"] + common + lang_flag + [
         "--steps", str(args.acoustic_steps), "--ckpt-every", "2000"])
     timings["acoustic_s"] = round(time.time() - t0, 1)
     timings["acoustic_steps_per_s"] = round(
@@ -119,13 +135,13 @@ def main(argv=None):
         # without letting the pre-trained discriminator destabilize either
         # stage.
         t0 = time.time()
-        cli(["e2e"] + common + [
+        cli(["e2e"] + common + lang_flag + [
             "--steps", str(args.e2e_steps), "--ckpt-every", "1000",
             "--adv-warmup", "1000000", "--am-lr-scale", "0.0",
             "--d-lr-scale", "0.5"])
         timings["e2e_s"] = round(time.time() - t0, 1)
 
-    cli(["export", "--output", args.bundle] + common)
+    cli(["export", "--output", args.bundle] + common + lang_flag)
 
     from e2e_tts_tpu.serve import SynthesisEngine
     from e2e_tts_tpu.utils.metrics import LearnedMosScorer
@@ -137,6 +153,14 @@ def main(argv=None):
         "hôm nay trời đẹp chúng ta đi dạo quanh hồ",
         "em yêu hoa lá trên núi cao",
     ]
+    if args.lang == "eng":
+        texts = [
+            "hello world we sing the sun and moon",
+            "the light of the morning is warm and bright",
+            "we walk along the river in the evening",
+        ]
+    elif args.lang == "mya":
+        texts = ["နေ ကောင်း လမ်း ရေ", "မိုး တောင် နေ လမ်း", "ရေ နေ ကောင်း မိုး"]
     scores = {}
     for t in texts:
         audio = eng.synthesize(t, speaker_id="nam", silence_distance=0.0)
@@ -145,6 +169,7 @@ def main(argv=None):
         )
     summary = {
         "bundle": args.bundle,
+        "lang": args.lang,
         "acoustic_params_M": 35,
         "timings": timings,
         "mos_proxy": scores,
