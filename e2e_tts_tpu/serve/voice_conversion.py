@@ -140,6 +140,7 @@ class KnnVoiceConverter:
         temperature: float = 10.0,
         fallback: Optional[object] = None,
         feature_mode: str = "auto",
+        prosody_weight: float = 0.0,
     ):
         """``engine``: a SynthesisEngine whose trained vocoder renders the
         converted mel; without one, conversion falls back to ``fallback``
@@ -154,11 +155,23 @@ class KnnVoiceConverter:
           remains in the metric;
         - "auto": "ppg" when the engine has the unsupervised aligner,
           else "cmvn".
+
+        ``prosody_weight``: > 0 turns on prosody transfer — each frame's
+        per-utterance-normalized log-f0 (plus a voicing flag) joins the
+        matching features, so matched target frames track the SOURCE's
+        intonation contour (rendered in the target's own range, since the
+        normalization removes register).  Plain kNN-VC discards source
+        prosody entirely: the output contour is whatever the matched
+        target frames happen to carry.  Weight 1.0 makes the prosody
+        block count about as much as the content block in the cosine
+        metric (the block is pre-scaled to the content features' frame
+        norm); 0 preserves exact pre-prosody behavior.
         """
         self.engine = engine
         self.k = k
         self.context = context
         self.temperature = temperature
+        self.prosody_weight = prosody_weight
         self.fallback = fallback or SpectralVoiceConverter()
         if feature_mode == "auto":
             feature_mode = "ppg" if self._engine_has_aligner() else "cmvn"
@@ -196,24 +209,78 @@ class KnnVoiceConverter:
             [padded[i : i + len(z)] for i in range(2 * c + 1)], axis=1
         )
 
-    def _features(self, mel: np.ndarray) -> np.ndarray:
-        """Matching features for one utterance's mel (T, n_mels)."""
+    def _features(
+        self, mel: np.ndarray, prosody: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Matching features for one utterance's mel (T, n_mels).
+
+        ``prosody``: optional (T, 2) [normalized log-f0, voicing] track
+        (``prosody_track``); appended per frame — before context stacking,
+        so the metric sees the contour SHAPE over +-context frames —
+        scaled so ``prosody_weight`` is feature-mode independent (ppg
+        frames are unit-norm on the Bhattacharyya sphere, cmvn frames
+        have ~sqrt(D) norm from D unit-variance dims)."""
         if self.feature_mode == "ppg":
-            ppg = self.engine.mel_content_features(mel)
             # sqrt maps the probability simplex onto the unit sphere, so the
             # kernel's cosine similarity becomes the Bhattacharyya affinity
-            return self._stack_context(np.sqrt(np.maximum(ppg, 0.0)))
-        mu, sd = mel.mean(axis=0), mel.std(axis=0) + 1e-5
-        return self._stack_context((mel - mu) / sd)
+            ppg = self.engine.mel_content_features(mel)
+            base, frame_norm = np.sqrt(np.maximum(ppg, 0.0)), 1.0
+        else:
+            mu, sd = mel.mean(axis=0), mel.std(axis=0) + 1e-5
+            base = (mel - mu) / sd
+            frame_norm = float(np.sqrt(mel.shape[1]))
+        if prosody is not None and self.prosody_weight > 0.0:
+            scale = self.prosody_weight * frame_norm / np.sqrt(2.0)
+            base = np.concatenate(
+                [base, scale * prosody.astype(base.dtype)], axis=1
+            )
+        return self._stack_context(base)
+
+    def prosody_track(
+        self, audio: np.ndarray, mel_len: int, sample_rate: int,
+        hop_length: int,
+    ) -> np.ndarray:
+        """(T, 2) [per-utterance z-normalized log-f0, voicing flag] aligned
+        to mel frames, library-free AC tracker (audio/features.py).  The
+        z-normalization over voiced frames keeps the contour SHAPE and
+        drops the speaker's register, so matching on it imposes source
+        intonation without dragging source pitch range into the output."""
+        from ..audio.features import extract_f0
+
+        f0 = extract_f0(
+            np.asarray(audio, np.float32), mel_len, sample_rate,
+            hop_length, backend="ac",
+        )
+        voiced = f0 > 0
+        z = np.zeros(mel_len, np.float32)
+        if int(voiced.sum()) >= 2:
+            lf = np.log(f0[voiced])
+            z[voiced] = (lf - lf.mean()) / (lf.std() + 1e-5)
+        return np.stack([z, voiced.astype(np.float32)], axis=1)
 
     # --- conversion --------------------------------------------------------
 
-    def convert_mel(self, src_mel: np.ndarray, tgt_mel: np.ndarray) -> np.ndarray:
-        """(Ts, n_mels), (Tt, n_mels) -> converted (Ts, n_mels)."""
+    def convert_mel(
+        self,
+        src_mel: np.ndarray,
+        tgt_mel: np.ndarray,
+        src_prosody: Optional[np.ndarray] = None,
+        tgt_prosody: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """(Ts, n_mels), (Tt, n_mels) -> converted (Ts, n_mels).
+
+        ``src_prosody``/``tgt_prosody``: optional (T, 2) ``prosody_track``
+        outputs; consulted only when ``prosody_weight`` > 0 (both sides
+        must be given — matching a prosody-augmented source against a
+        bare target would compare unrelated dimensions)."""
         import jax.numpy as jnp
 
-        src_feat = self._features(src_mel)
-        tgt_feat = self._features(tgt_mel)
+        if (src_prosody is None) != (tgt_prosody is None):
+            raise ValueError(
+                "src_prosody and tgt_prosody must be given together"
+            )
+        src_feat = self._features(src_mel, src_prosody)
+        tgt_feat = self._features(tgt_mel, tgt_prosody)
         Ts, Tt = len(src_feat), len(tgt_feat)
         Tsb, Ttb = _bucket_up(Ts), _bucket_up(Tt)
         sf = np.zeros((Tsb, src_feat.shape[1]), np.float32)
@@ -237,7 +304,13 @@ class KnnVoiceConverter:
         tgt, sr_t = read_wav(target_path)
         if sr_s != self.engine.sample_rate or sr_t != self.engine.sample_rate:
             return self.fallback.convert(source_path, target_path, out_path)
-        converted = self.convert_mel(self._mel(src, sr_s), self._mel(tgt, sr_t))
+        src_mel, tgt_mel = self._mel(src, sr_s), self._mel(tgt, sr_t)
+        sp = tp = None
+        if self.prosody_weight > 0.0:
+            hop = self.engine.hop_length
+            sp = self.prosody_track(src, len(src_mel), sr_s, hop)
+            tp = self.prosody_track(tgt, len(tgt_mel), sr_t, hop)
+        converted = self.convert_mel(src_mel, tgt_mel, sp, tp)
         audio = self.engine.vocode_mel(converted)
         peak = np.abs(audio).max()
         if peak > 1.0:
