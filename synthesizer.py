@@ -49,6 +49,7 @@ class Synthesizer:
         bundles: Optional[Dict[str, str]] = None,
         auto_discover: bool = True,
         output_dir: str = "outputs",
+        vc_prosody_weight: float = 0.0,
     ) -> None:
         bundles = dict(bundles or {})
         if auto_discover:
@@ -73,8 +74,11 @@ class Synthesizer:
         # kNN-VC rendered by the vie engine's trained vocoder when present;
         # spectral-envelope DSP fallback otherwise (voice_conversion.py)
         vn = self.model_dict.get("vie")
+        # vc_prosody_weight > 0 transfers the tts output's intonation
+        # contour onto the converted voice (voice_conversion.py)
         self.voice_converter = KnnVoiceConverter(
-            engine=getattr(vn, "engine", None)
+            engine=getattr(vn, "engine", None),
+            prosody_weight=vc_prosody_weight,
         )
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
