@@ -199,11 +199,12 @@ class SynthesisEngine:
         n_symbols = len(fe.symbols)
         self._to_sequence = lambda c: fe.to_sequence(c, self.foreign_dict)
 
-        # Pallas flash attention is OFF by default: measured on v5e at the
-        # decoder's serving shapes (B=16, 2 heads, D=128), XLA's fused
-        # attention beats the hand kernel at every length — 0.89x at T=256
-        # down to 0.41x at T=1024 (tools/bench_flash.py).  The kernel stays
-        # available for shapes where it wins; pass use_flash=True to opt in.
+        # Pallas flash attention is OFF by default and EXPERIMENTAL: measured
+        # on v5e at decoder serving shapes (B=16, 2 heads, D=128), XLA's
+        # fused attention beats the hand kernel at every length incl. T=2048
+        # (0.37-0.67x — assets/bench/flash_attention_v5e.json).  The backward
+        # kernels were retired in round 5; the forward stays opt-in
+        # (inference only) for hardware where the balance may flip.
         if use_flash is None:
             use_flash = False
         self.acoustic = FastSpeech2(

@@ -1,5 +1,10 @@
 """Pallas kernel tests (interpret mode on CPU; the compiled TPU path has a
-gated test below plus bench/serving coverage)."""
+gated test below plus bench/serving coverage).
+
+The flash BACKWARD was retired in round 5 — it lost to XLA at every decoder
+shape (see kernels/flash_attention.py docstring and
+assets/bench/flash_attention_v5e.json) — so only the forward is tested, and
+one test pins the inference-only contract (grad raises)."""
 
 import jax
 import jax.numpy as jnp
@@ -42,44 +47,29 @@ def test_flash_attention_unaligned_shapes():
         assert err < 2e-5, (b, err)
 
 
-def _grad_case(interpret: bool, tol: float):
-    """Flash VJP vs the XLA-attention oracle, masked-loss gradients."""
+def test_flash_attention_is_inference_only():
+    """The backward kernels were deleted (round-5 retirement); taking a
+    gradient through the forward must raise, not silently mis-train."""
     rng = np.random.RandomState(2)
-    BH, T, D = 4, 300, 64
-    q = jnp.asarray(rng.randn(BH, T, D), jnp.float32) * 0.3
-    k = jnp.asarray(rng.randn(BH, T, D), jnp.float32) * 0.3
+    BH, T, D = 2, 128, 64
+    q = jnp.asarray(rng.randn(BH, T, D), jnp.float32)
+    k = jnp.asarray(rng.randn(BH, T, D), jnp.float32)
     v = jnp.asarray(rng.randn(BH, T, D), jnp.float32)
-    kv_lens = jnp.asarray([300, 257, 128, 1], jnp.int32)
-    mask = (jnp.arange(T)[None, :] < kv_lens[:, None]).astype(jnp.float32)[..., None]
+    kv_lens = jnp.asarray([128, 64], jnp.int32)
 
-    def loss(fn):
-        return lambda q, k, v: jnp.sum((fn(q, k, v) * mask) ** 2)
+    def loss(q):
+        return jnp.sum(flash_attention(q, k, v, kv_lens, interpret=True) ** 2)
 
-    g_ours = jax.grad(
-        loss(lambda q, k, v: flash_attention(q, k, v, kv_lens, interpret=interpret)),
-        argnums=(0, 1, 2),
-    )(q, k, v)
-    g_ref = jax.grad(
-        loss(lambda q, k, v: attention_reference(q, k, v, kv_lens)),
-        argnums=(0, 1, 2),
-    )(q, k, v)
-    for name, a, b in zip("qkv", g_ours, g_ref):
-        assert bool(jnp.isfinite(a).all()), f"d{name} not finite"
-        err = float(jnp.abs(a - b).max())
-        assert err < tol, (name, err)
-
-
-def test_flash_attention_vjp_matches_reference():
-    _grad_case(interpret=True, tol=1e-4)
+    with pytest.raises(Exception):
+        jax.grad(loss)(q)
 
 
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="compiled Pallas path needs a TPU"
 )
 def test_flash_attention_compiled_on_tpu():
-    """Compiled-mode numerics: forward and backward on real hardware.
-    Tolerances reflect the MXU's default (reduced-precision) matmul
-    accumulation — measured ~8e-4 fwd / ~2e-4 grad on v5e."""
+    """Compiled-mode forward numerics on real hardware.  Tolerance reflects
+    the MXU's default (reduced-precision) matmul accumulation."""
     rng = np.random.RandomState(3)
     BH, T, D = 4, 512, 192
     q = jnp.asarray(rng.randn(BH, T, D), jnp.float32) * 0.3
@@ -91,4 +81,3 @@ def test_flash_attention_compiled_on_tpu():
     for b in range(BH):
         n = int(kv_lens[b])
         assert np.abs(ours[b, :n] - ref[b, :n]).max() < 5e-3
-    _grad_case(interpret=False, tol=5e-3)

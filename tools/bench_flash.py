@@ -1,10 +1,12 @@
-"""Measure the Pallas flash attention vs plain XLA attention on TPU at the
-long-context shapes the decoder sees (T = 256 / 512 / 1024 mel frames).
+"""Measure the Pallas flash-attention FORWARD vs plain XLA attention on TPU
+at the long-context shapes the decoder sees (T = 256..2048 mel frames).
 
-ROADMAP "measure flash at T=512/1024".  Prints one JSON line per shape with
-forward and forward+backward timings and the speedup.  Run on the real chip:
+Round-5 verdict (assets/bench/flash_attention_v5e.json): XLA won at every
+shape (fwd 0.37-0.67x, bwd 0.53-0.79x for the hand kernel), so the backward
+kernels were DELETED and this script now benchmarks only the surviving
+forward path.  Re-run it if the hardware generation changes:
 
-    python tools/bench_flash.py
+    python tools/bench_flash.py [T ...]
 """
 
 from __future__ import annotations
@@ -58,7 +60,8 @@ def main():
     B, H, D = 16, 2, 128  # decoder serving shape: batch 16, 2 heads, d=256
     BH = B * H
     rows = []
-    for T in (256, 512, 1024):
+    shapes = tuple(int(a) for a in sys.argv[1:]) or (256, 512, 1024, 2048)
+    for T in shapes:
         rng = np.random.RandomState(0)
         q = jnp.asarray(rng.randn(BH, T, D), jnp.bfloat16)
         k = jnp.asarray(rng.randn(BH, T, D), jnp.bfloat16)
@@ -70,25 +73,11 @@ def main():
         t_flash = _time(lambda q, k, v, l: flash_fwd(q, k, v, l), q, k, v, lens)
         t_xla = _time(lambda q, k, v, l: xla_fwd(q, k, v, l), q, k, v, lens)
 
-        def loss_flash(q, k, v, lens):
-            return flash_attention(q, k, v, lens, interpret=interpret).sum()
-
-        def loss_xla(q, k, v, lens):
-            return attention_reference(q, k, v, lens).sum()
-
-        g_flash = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))
-        g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))
-        t_flash_bwd = _time(g_flash, q, k, v, lens)
-        t_xla_bwd = _time(g_xla, q, k, v, lens)
-
         row = {
             "T": T,
             "fwd_flash_ms": round(t_flash * 1e3, 3),
             "fwd_xla_ms": round(t_xla * 1e3, 3),
             "fwd_speedup": round(t_xla / t_flash, 2),
-            "bwd_flash_ms": round(t_flash_bwd * 1e3, 3),
-            "bwd_xla_ms": round(t_xla_bwd * 1e3, 3),
-            "bwd_speedup": round(t_xla_bwd / t_flash_bwd, 2),
         }
         rows.append(row)
         print(json.dumps(row))
