@@ -226,19 +226,32 @@ def _inflected_phones(word: str) -> Optional[List[str]]:
 _RULES: List[Tuple[str, str]] = [
     # multi-letter endings
     ("ation$", "EY1 SH AH0 N"), ("ations$", "EY1 SH AH0 N Z"),
+    # vowel + tion/sion: the vowel reads long/tense (motion, solution,
+    # completion, edition; occasion, explosion, confusion); a consonant
+    # before -tion keeps the short stressed vowel (section, function)
+    ("quation", "K W EY1 ZH AH0 N"),
+    ("otion", "OW1 SH AH0 N"), ("ution", "UW1 SH AH0 N"),
+    ("etion", "IY1 SH AH0 N"), ("ition", "IH1 SH AH0 N"),
+    ("asion", "EY1 ZH AH0 N"), ("osion", "OW1 ZH AH0 N"),
+    ("usion", "UW1 ZH AH0 N"), ("esion", "IY1 ZH AH0 N"),
+    ("ption", "P SH AH0 N"), ("nction", "NG K SH AH0 N"),
+    ("ction", "K SH AH0 N"),
     ("tions$", "SH AH0 N Z"), ("sions$", "ZH AH0 N Z"),
     ("ould$", "UH1 D"), ("ange$", "EY1 N JH"), ("aste$", "EY1 S T"),
     ("ouse$", "AW1 S"), ("ause$", "AO1 Z"), ("ase$", "EY1 S"),
     ("ese$", "IY1 Z"),
+    ("ssion", "SH AH0 N"), ("nsion", "N SH AH0 N"),
     ("stion", "S CH AH0 N"), ("tion", "SH AH0 N"), ("sion", "ZH AH0 N"),
     ("tious$", "SH AH0 S"),
     ("cious$", "SH AH0 S"), ("ture$", "CH ER0"), ("sure$", "ZH ER0"),
     ("tial$", "SH AH0 L"), ("cial$", "SH AH0 L"), ("ought", "AO1 T"),
+    ("iation", "IY0 EY1 SH AH0 N"), ("ium$", "IY0 AH0 M"),
     ("ial$", "IY0 AH0 L"), ("gious$", "JH AH0 S"), ("ious$", "IY0 AH0 S"),
     ("ften$", "F AH0 N"), ("gue$", "G"), ("iew", "Y UW1"),
     ("aught", "AO1 T"), ("ight", "AY1 T"), ("eigh", "EY1"), ("igh", "AY1"),
     ("able$", "AH0 B AH0 L"), ("ible$", "AH0 B AH0 L"),
-    ("ism$", "IH0 Z AH0 M"), ("ist$", "IH0 S T"), ("ity$", "IH0 T IY0"),
+    ("ism$", "IH0 Z AH0 M"), ("sist", "S IH1 S T"), ("xist", "G Z IH1 S T"),
+    ("ist$", "AH0 S T"), ("ity$", "AH0 T IY0"),
     ("ment$", "M AH0 N T"), ("ness$", "N AH0 S"), ("ship$", "SH IH0 P"),
     ("ous$", "AH0 S"), ("age$", "IH0 JH"), ("ate$", "EY2 T"),
     ("ize$", "AY2 Z"), ("ise$", "AY2 Z"), ("ify$", "IH0 F AY2"),
@@ -252,33 +265,46 @@ _RULES: List[Tuple[str, str]] = [
     ("tch", "CH"), ("dge", "JH"), ("chr", "K R"), ("sch", "S K"),
     ("ch", "CH"), ("sh", "SH"),
     ("th", "TH"), ("ph", "F"), ("gh", "G"), ("wh", "W"), ("ck", "K"),
-    ("ng", "NG"), ("qu", "K W"), ("wr", "R"), ("kn", "N"), ("gn", "N"),
+    ("ng", "NG"), ("qu", "K W"), ("wr", "R"), ("kn", "N"),
     ("mb$", "M"), ("sc", "S K"), ("dd", "D"), ("bb", "B"), ("tt", "T"),
     ("pp", "P"), ("ss", "S"), ("ll", "L"), ("mm", "M"), ("nn", "N"),
     ("rr", "R"), ("ff", "F"), ("gg", "G"), ("zz", "Z"), ("cc", "K"),
     # vowel + context patterns
     ("ally$", "AH0 L IY0"), ("alk", "AO1 K"),
     ("all", "AO1 L"), ("old$", "OW1 L D"), ("ind$", "AY1 N D"),
-    ("war", "W AO1 R"), ("ood$", "UH1 D"), ("uni", "Y UW1 N"),
+    ("every", "EH1 V R IY0"), ("ware", "W EH1 R"), ("war", "W AO1 R"), ("ood$", "UH1 D"), ("uni", "Y UW1 N"),
     ("ealth", "EH1 L TH"), ("easure", "EH1 ZH ER0"),
     ("eaven", "EH1 V AH0 N"), ("ough$", "OW1"), ("oar", "AO1 R"),
-    ("tz", "T S"), ("ieth$", "IY0 AH0 TH"), ("gent$", "JH AH0 N T"),
+    ("ngth", "NG K TH"), ("xch", "K S CH"), ("xc", "K S"), ("tz", "T S"), ("ieth$", "IY0 AH0 TH"), ("gent$", "JH AH0 N T"),
     ("alt", "AO1 L T"), ("nk", "NG K"),
+    ("ire$", "AY1 ER0"), ("ired$", "AY1 ER0 D"), ("ires$", "AY1 ER0 Z"),
     ("rive$", "R AY1 V"), ("use$", "Y UW1 Z"),
     ("stle$", "S AH0 L"), ("sten$", "S AH0 N"),
-    ("arr", "EH1 R"), ("err", "EH1 R"), ("orr", "AO1 R"), ("urr", "ER1"),
+    ("are$", "EH1 R"), ("arr", "EH1 R"), ("err", "EH1 R"), ("orr", "AO1 R"), ("urr", "ER1"),
     ("who$", "HH UW1"), ("owel", "AW1 AH0 L"), ("ninet", "N AY1 N T"),
-    ("isl", "AY1 L"), ("alm$", "AA1 M"), ("hour", "AW1 ER0"),
+    ("alm$", "AA1 M"), ("hour", "AW1 ER0"),
     ("exp", "IH0 K S P"), ("destr", "D IH0 S T R"),
     ("alue$", "AE1 L Y UW0"), ("ess$", "EH2 S"),
-    ("engl", "IH1 NG G L"), ("ajor", "EY1 JH ER0"),
+    ("transi", "T R AE1 N Z IH0"), ("engl", "IH1 NG G L"), ("ajor", "EY1 JH ER0"),
     ("cient$", "SH AH0 N T"), ("tient$", "SH AH0 N T"),
     ("ient$", "AY1 AH0 N T"), ("ilent$", "AY1 L AH0 N T"),
     ("edu", "EH1 JH AH0"), ("ffice", "F AH0 S"),
     ("othes$", "OW1 DH Z"), ("eople", "IY1 P AH0 L"),
     ("was$", "W AA1 Z"), ("wash", "W AA1 SH"),
     ("arious", "EH1 R IY0 AH0 S"), ("eai", "IY0 EY1"),
-    ("ision", "IH1 ZH AH0 N"), ("iny$", "AY1 N IY0"),
+    ("ision", "IH1 ZH AH0 N"), ("iny$", "AY1 N IY0"), ("ycle", "AY1 K AH0 L"),
+    ("ilot", "AY1 L AH0 T"), ("item", "AY1 T AH0 M"),
+    ("ina$", "AY1 N AH0"), ("rivate", "R AY1 V AH0 T"),
+    ("rimary", "R AY1 M EH2 R IY0"), ("rivacy", "R AY1 V AH0 S IY0"),
+    ("iolog", "AY0 AA1 L AH0 JH"), ("ydr", "AY1 D R"),
+    ("five", "F AY1 V"), ("dive$", "D AY1 V"), ("vive", "V AY1 V"),
+    ("alive", "AH0 L AY1 V"), ("ninth", "N AY1 N TH"),
+    ("ilence", "S AY1 L AH0 N S"), ("iday", "AY1 D EY2"),
+    ("inor", "AY1 N ER0"), ("icense", "AY1 S AH0 N S"),
+    ("ynam", "AY0 N AE1 M"), ("idea", "AY0 D IY1 AH0"),
+    ("identi", "AY0 D EH1 N T"), ("hild", "HH AY1 L D"),
+    ("uide", "G AY1 D"), ("quite$", "K W AY1 T"),
+    ("inal$", "AY1 N AH0 L"),
     ("inus", "AY1 N AH0 S"), ("ibr", "AY1 B R"),
     ("oul", "OW1 L"), ("eather", "EH1 DH ER0"), ("irr", "IH1 R"),
     ("eau", "Y UW1"), ("inute", "IH1 N AH0 T"),
@@ -286,11 +312,18 @@ _RULES: List[Tuple[str, str]] = [
     ("otor", "OW1 T ER0"), ("aise$", "EY1 Z"), ("eeze$", "IY1 Z"),
     ("ily$", "AH0 L IY0"), ("whol", "HH OW1 L"),
     ("qual", "K W AA1 L"), ("quant", "K W AA1 N T"),
+    ("crease$", "K R IY1 S"), ("lease$", "L IY1 S"), ("ease$", "IY1 Z"),
+    ("easure", "EH1 ZH ER0"), ("oise$", "OY1 Z"), ("uise$", "UW1 Z"),
+    ("choose", "CH UW1 Z"), ("bserv", "B Z ER1 V"),
+    ("bsor", "B Z AO1 R"), ("sday", "Z D EY2"), ("news", "N UW1 Z"),
+    ("transl", "T R AE1 N Z L"), ("transm", "T R AE1 N Z M"),
     ("journ", "JH ER1 N"), ("nsw", "N S"), ("alf", "AE1 F"),
     ("uild", "IH1 L D"), ("uscle", "AH1 S AH0 L"),
     ("chine$", "SH IY1 N"), ("eign$", "AH0 N"), ("olor", "AH1 L ER0"),
     ("ular$", "Y AH0 L ER0"), ("ercent", "ER0 S EH1 N T"),
-    ("equ", "IY1 K W"), ("aybe$", "EY1 B IY0"),
+    ("equation", "IH0 K W EY1 ZH AH0 N"), ("equ", "IY1 K W"), ("aybe$", "EY1 B IY0"), ("azy$", "EY1 Z IY0"), ("avy$", "EY1 V IY0"),
+    ("ady$", "EY1 D IY0"), ("aby$", "EY1 B IY0"), ("abor", "EY1 B ER0"),
+    ("abel", "EY1 B AH0 L"), ("acon", "EY1 K AH0 N"), ("neu", "N UW1"),
     ("ouble", "AH1 B AH0 L"), ("ower$", "AW1 ER0"), ("aigh", "EY1"),
     ("iron", "AY1 ER0 N"), ("honor", "AA1 N ER0"),
     ("honest", "AA1 N AH0 S T"), ("nior", "N Y ER0"),
@@ -302,6 +335,18 @@ _RULES: List[Tuple[str, str]] = [
     ("eally$", "IH1 L IY0"),
     ("ager$", "IH0 JH ER0"), ("shion$", "SH AH0 N"),
     ("gion$", "JH AH0 N"), ("ion$", "Y AH0 N"),
+    ("ost$", "OW1 S T"), ("ostly$", "OW1 S T L IY0"),
+    ("oken", "OW1 K AH0 N"), ("olden", "OW1 L D AH0 N"),
+    ("obal", "OW1 B AH0 L"), ("ocal", "OW1 K AH0 L"),
+    ("oble", "OW1 B AH0 L"), ("otal", "OW1 T AH0 L"),
+    ("only", "OW1 N L IY0"), ("oly$", "OW1 L IY0"),
+    ("onus", "OW1 N AH0 S"), ("ocus", "OW1 K AH0 S"),
+    ("oment", "OW1 M AH0 N T"), ("otice", "OW1 T AH0 S"),
+    ("otive", "OW1 T IH0 V"), ("otel", "OW0 T EH1 L"),
+    ("omain", "OW0 M EY1 N"), ("onate$", "OW1 N EY2 T"),
+    ("ocery", "OW1 S ER0 IY0"), ("obody", "OW1 B AA2 D IY0"),
+    ("obile", "OW1 B AH0 L"), ("obey", "OW0 B EY1"),
+    ("omit", "OW0 M IH1 T"), ("oken$", "OW1 K AH0 N"),
     ("other", "AH1 DH ER0"), ("oney$", "AH1 N IY0"),
     ("onth", "AH1 N TH"), ("onkey", "AH1 NG K IY0"), ("ia$", "IY0 AH0"),
     ("ign$", "AY1 N"), ("ave$", "EY1 V"), ("ead$", "EH1 D"),
@@ -356,13 +401,62 @@ _REDUCIBLE = {
 }
 _KEEP_FINAL_GUARD = 2  # final syllable with a 2+-consonant coda keeps stress
 
+# Pre-stress reduction keeps more vowel-quality distinctions than the
+# post-stress table: spelled "e" before the stress reads IH0 (election,
+# because), tense vowels flatten to schwa (pollution, preparation).
+_PRE_REDUCE = {
+    "AE1": "AH0", "AA1": "AH0", "AH1": "AH0", "IH1": "AH0", "EH1": "IH0",
+    "OW1": "AH0", "EY1": "AH0", "UW1": "AH0", "AO1": "AH0",
+}
 
-def _reduce_unstressed(phones: List[str]) -> List[str]:
+# Stress-determining suffixes (spelling pattern -> main-stress position as
+# "Nth vowel counted from the END of the emitted phone string").  These are
+# the classic Latinate stress rules every LTS needs: -tion/-sion/-cial/-ic
+# stress the immediately preceding syllable, -ity/-ify/-ogy/-ical stress
+# two syllables before, -ee/-eer/-esque attract stress themselves.
+_SUFFIX_STRESS: List[Tuple[re.Pattern, int]] = [
+    (re.compile(r"(ee|eer|eers|ese|esque|oon|oons|ette|aire|ique)$"), 1),
+    (re.compile(r"([tsx]|ss|c|g)ions?$"), 2),
+    (re.compile(r"cians?$"), 2),
+    (re.compile(r"[cts]ials?$"), 2),
+    (re.compile(r"[ct]ious$|geous$|xious$"), 2),
+    (re.compile(r"i[ck]s?$|ic[ts]$"), 2),
+    (re.compile(r"icals?$|ically$"), 3),
+    (re.compile(r"it(y|ies)$"), 3),
+    (re.compile(r"if(y|ies)$"), 3),
+    (re.compile(r"og(y|ies)$|graph(y|ies)$|path(y|ies)$|om(y|ies)$"), 3),
+    (re.compile(r"ious$|eous$"), 3),
+    (re.compile(r"ituted?$|itutes?$"), 3),
+    (re.compile(r"[a-z]ates?$|[a-z]ated$|[a-z]ating$"), 3),
+]
+
+
+def _main_stress_from_suffix(word: str, phones: List[str]) -> Optional[int]:
+    """Phone index of the main-stress vowel dictated by a suffix class, or
+    None when no class matches (the first-stress heuristic applies then)."""
+    vowel_idx = [k for k, ph in enumerate(phones) if ph[-1:] in "012"]
+    for pat, n_from_end in _SUFFIX_STRESS:
+        if pat.search(word):
+            if len(vowel_idx) >= n_from_end:
+                return vowel_idx[-n_from_end]
+            return None
+    return None
+
+
+def _reduce_unstressed(phones: List[str], word: str = "") -> List[str]:
     """Stress-aware vowel reduction post-pass.
 
     The table rules emit citation (stressed) vowel qualities everywhere;
     real English reduces short vowels in unstressed syllables to schwa
-    (market -> M AA1 R K AH0 T).  Heuristic: the first rule-stressed vowel
+    (market -> M AA1 R K AH0 T).  When the word carries a stress-determining
+    Latinate suffix (-tion, -ity, -ic, ... — _SUFFIX_STRESS), the main
+    stress is placed by the suffix class and every other syllable reduces
+    around it: post-stress short vowels -> AH0, pre-stress vowels -> the
+    _PRE_REDUCE map, EXCEPT the word-initial syllable, which keeps full
+    quality as a secondary stress when it is two or more syllables before
+    the main one (ap-pli-CA-tion -> AE2, but con-NEC-tion -> AH0).
+
+    Otherwise the legacy heuristic applies: the first rule-stressed vowel
     carries the word stress; later rule-stressed SHORT vowels reduce to
     AH0 (AO1+R -> ER0), except in a final syllable closed by 2+ consonants
     ("understand" keeps its final full vowel).  Vowels the rules already
@@ -372,8 +466,45 @@ def _reduce_unstressed(phones: List[str]) -> List[str]:
     ]
     if len(vowel_idx) < 2:
         return phones
-    seen_stress = False
     out = list(phones)
+
+    main = _main_stress_from_suffix(word, phones) if word else None
+    if main is not None:
+        main_n = vowel_idx.index(main)
+        for n, k in enumerate(vowel_idx):
+            ph = phones[k]
+            if k == main:
+                continue
+            if not ph.endswith("1"):
+                continue  # digits 0/2 already carry suffix knowledge
+            if n < main_n:
+                # initial syllable keeps full quality (secondary stress)
+                # unless directly adjacent to the main stress
+                if n == 0 and main_n - n >= 2:
+                    continue
+                if ph == "AO1" and k + 1 < len(phones) and phones[k + 1] == "R":
+                    if n == 0:
+                        continue  # or-/ar- onsets keep the r-colored vowel
+                    out[k] = "ER0"  # infORmation -> ER0 (non-initial)
+                    out[k + 1] = None
+                    continue
+                if n == 0 and ph in ("IH1", "UW1", "UH1"):
+                    # in-/nu- initial syllables keep quality even when
+                    # adjacent to the stress (infection, nutrition)
+                    out[k] = ph[:-1] + "0"
+                    continue
+                repl = _PRE_REDUCE.get(ph)
+                if repl:
+                    out[k] = repl
+            else:
+                if ph == "AO1" and k + 1 < len(phones) and phones[k + 1] == "R":
+                    out[k] = "ER0"
+                    out[k + 1] = None
+                elif ph in _REDUCIBLE:
+                    out[k] = _REDUCIBLE[ph]
+        return [p for p in out if p is not None]
+
+    seen_stress = False
     for n, k in enumerate(vowel_idx):
         ph = phones[k]
         if not ph.endswith("1"):
@@ -396,7 +527,8 @@ def _reduce_unstressed(phones: List[str]) -> List[str]:
 def letter_to_sound(word: str) -> List[str]:
     """Grapheme -> ARPAbet with unstressed-vowel reduction (see
     _reduce_unstressed; core rules in _lts_core)."""
-    return _reduce_unstressed(_lts_core(word))
+    word = word.lower()
+    return _reduce_unstressed(_lts_core(word), word)
 
 
 # The DH/TH split on word-initial "th" is purely lexical: English voices
@@ -425,6 +557,34 @@ def _lts_core(word: str) -> List[str]:
         if word == "the":
             return ["DH", "AH0"]
         return ["DH"] + rest
+    # closed-class s-final function words voice to /z/
+    _S_FUNCTION = {
+        "as": ["AE1", "Z"], "is": ["IH1", "Z"],
+        "his": ["HH", "IH1", "Z"], "has": ["HH", "AE1", "Z"],
+    }
+    if word in _S_FUNCTION:
+        return list(_S_FUNCTION[word])
+    # stress-neutral derivational suffixes peel off and the stem is read on
+    # its own (bare+ly, grate+ful, state+ment) — the silent-e/magic-e rules
+    # then see the stem's true word edge
+    for suf, tail in (
+        ("ly", ["L", "IY0"]),
+        ("ful", ["F", "AH0", "L"]),
+        ("ness", ["N", "AH0", "S"]),
+        ("ment", ["M", "AH0", "N", "T"]),
+    ):
+        if (
+            word.endswith(suf) and len(word) - len(suf) >= 4
+            and any(c in "aeiouy" for c in word[: -len(suf)])
+        ):
+            stem = word[: -len(suf)]
+            if suf == "ly" and stem.endswith("al"):
+                # -ally reads AH0 L IY0 (finally, usually): peel -al too
+                return _lts_core(stem[:-2]) + ["AH0", "L", "IY0"]
+            return _lts_core(stem) + tail
+    # -iage is the IH0 JH suffix with silent i (marriage, carriage)
+    if len(word) > 5 and word.endswith("iage"):
+        return _lts_core(word[:-4]) + ["IH0", "JH"]
     # polysyllabic -age is the unstressed IH0 JH suffix (village, message,
     # language) — peel it BEFORE magic-e rewrites "age" into long-a "aig"
     if (
@@ -453,11 +613,23 @@ def _lts_core(word: str) -> List[str]:
     )
     out: List[str] = []
     i = 0
+    # Words with a stress-determining Latinate suffix skip the unstressed-
+    # prefix rewrites: _reduce_unstressed places the main stress from the
+    # suffix class and decides which earlier syllables reduce (keeping the
+    # word-initial secondary stress of ap-pli-CA-tion / com-pe-TI-tion that
+    # these prefix rules would wrongly flatten).
+    latinate = any(pat.search(word) for pat, _ in _SUFFIX_STRESS)
+    # word-initial "isl" keeps its silent s (island, isle); mid-word "isl"
+    # is an ordinary cluster (legislation)
+    if word.startswith("isl"):
+        out.extend(["AY1", "L"])
+        i = 3
     # unstressed initial a- before one consonant + vowel ("about", "again")
     # or a doubled consonant ("attack", "address"); true clusters
     # ("after") keep AE
     if (
-        len(word) >= 4 and word[0] == "a"
+        not latinate and i == 0
+        and len(word) >= 4 and word[0] == "a"
         and word[1] not in "aeiouy"
         and (word[2] in "aeiou" or (word[1] == word[2] and len(word) >= 5))
     ):
@@ -467,7 +639,8 @@ def _lts_core(word: str) -> List[str]:
     # consonant+liquid cluster) + vowel ("begin", "decide", "degree",
     # "reply", "prepare"); doubles ("better") keep full vowels
     if (
-        len(word) >= 6 and word[:3] == "pre"
+        not latinate and i == 0
+        and len(word) >= 6 and word[:3] == "pre"
         and word[3] not in "aeiouy"
         and (
             word[4] in "aeiouy"
@@ -477,7 +650,8 @@ def _lts_core(word: str) -> List[str]:
         out.extend(["P", "R", "IH0"])
         i = 3
     elif (
-        len(word) >= 7 and word[:3] in ("com", "con")
+        not latinate and i == 0
+        and len(word) >= 7 and word[:3] in ("com", "con")
         and word[3] not in "aeiouy" and word[3] != word[2]
     ):
         # unstressed com-/con- before a consonant in longer words
@@ -486,7 +660,8 @@ def _lts_core(word: str) -> List[str]:
         out.extend(["K", "AH0", "M" if word[2] == "m" else "N"])
         i = 3
     elif (
-        len(word) >= 5 and word[:2] in ("be", "de", "re")
+        not latinate and i == 0
+        and len(word) >= 5 and word[:2] in ("be", "de", "re")
         and word[2] not in "aeiouy"
         and (
             word[3] in "aeiouy"
@@ -562,6 +737,24 @@ def _lts_core(word: str) -> List[str]:
         ):
             out.append("S")
             i += 2
+            continue
+        # word-initial gn: silent g (gnome); mid-word handled as G N
+        if i == 0 and word.startswith("gn"):
+            out.append("N")
+            i += 2
+            continue
+        # soft g: "ge/gi/gy" reads JH (gene, giant, gym, general) except in
+        # the Germanic core (get, give, girl, gift, gear, geese) and the
+        # agentive/comparative "-ger" of tiger/eager (danger/stranger take
+        # the dedicated "anger" rule above)
+        if (
+            word[i] == "g" and i + 1 < len(word) and word[i + 1] in "eiy"
+            and not word.startswith(("get", "giv", "gif", "gir", "gea",
+                                     "gee", "gig", "gild", "gey"), i)
+            and word[i:] not in ("ger", "gers")
+        ):
+            out.append("JH")
+            i += 1
             continue
         # "ng" + liquid keeps the hard g (single, angry, england)
         if (
