@@ -251,9 +251,9 @@ _RULES: List[Tuple[str, str]] = [
     ("aught", "AO1 T"), ("ight", "AY1 T"), ("eigh", "EY1"), ("igh", "AY1"),
     ("able$", "AH0 B AH0 L"), ("ible$", "AH0 B AH0 L"),
     ("ism$", "IH0 Z AH0 M"), ("sist", "S IH1 S T"), ("xist", "G Z IH1 S T"),
-    ("ist$", "AH0 S T"), ("ity$", "AH0 T IY0"),
+    ("ist$", "AH0 S T"), ("ity$", "IH0 T IY0"),
     ("ment$", "M AH0 N T"), ("ness$", "N AH0 S"), ("ship$", "SH IH0 P"),
-    ("ous$", "AH0 S"), ("age$", "IH0 JH"), ("ate$", "EY2 T"),
+    ("ish$", "IH0 SH"), ("ous$", "AH0 S"), ("age$", "IH0 JH"), ("ate$", "EY2 T"),
     ("ize$", "AY2 Z"), ("ise$", "AY2 Z"), ("ify$", "IH0 F AY2"),
     ("ive$", "IH0 V"), ("ogy$", "AH0 JH IY0"), ("ical$", "IH0 K AH0 L"),
     ("ing$", "IH0 NG"), ("ings$", "IH0 NG Z"),
@@ -262,10 +262,14 @@ _RULES: List[Tuple[str, str]] = [
     ("se$", "S"), ("ic$", "IH0 K"), ("gy$", "JH IY0"),
     ("uge$", "Y UW1 JH"), ("ceive$", "S IY1 V"),
     # consonant digraphs
+    ("machighn$", "M AH0 SH IY1 N"), ("chighn$", "SH IY1 N"), ("zighn$", "Z IY1 N"),
+    ("cighn$", "S AH0 N"), ("gighn$", "JH AH0 N"),
+    ("ocial", "OW1 SH AH0 L"),
     ("tch", "CH"), ("dge", "JH"), ("chr", "K R"), ("sch", "S K"),
     ("ch", "CH"), ("sh", "SH"),
     ("th", "TH"), ("ph", "F"), ("gh", "G"), ("wh", "W"), ("ck", "K"),
-    ("ng", "NG"), ("qu", "K W"), ("wr", "R"), ("kn", "N"),
+    ("ng", "NG"), ("quite$", "K W AY1 T"), ("quiet", "K W AY1 AH0 T"),
+    ("qu", "K W"), ("wr", "R"), ("kn", "N"),
     ("mb$", "M"), ("sc", "S K"), ("dd", "D"), ("bb", "B"), ("tt", "T"),
     ("pp", "P"), ("ss", "S"), ("ll", "L"), ("mm", "M"), ("nn", "N"),
     ("rr", "R"), ("ff", "F"), ("gg", "G"), ("zz", "Z"), ("cc", "K"),
@@ -273,14 +277,26 @@ _RULES: List[Tuple[str, str]] = [
     ("ally$", "AH0 L IY0"), ("alk", "AO1 K"),
     ("all", "AO1 L"), ("old$", "OW1 L D"), ("ind$", "AY1 N D"),
     ("every", "EH1 V R IY0"), ("ware", "W EH1 R"), ("war", "W AO1 R"), ("ood$", "UH1 D"), ("uni", "Y UW1 N"),
+    ("neath", "N IY1 TH"), ("eathe", "IY1 DH"), ("eath", "EH1 TH"),
+    ("break", "B R EY1 K"), ("nough", "N AH1 F"),
+    ("cough", "K AO1 F"), ("though", "DH OW1"),
+    ("aig$", "EY1 JH"), ("aig", "EY1"), ("eeg$", "IH0 JH"),
     ("ealth", "EH1 L TH"), ("easure", "EH1 ZH ER0"),
     ("eaven", "EH1 V AH0 N"), ("ough$", "OW1"), ("oar", "AO1 R"),
-    ("ngth", "NG K TH"), ("xch", "K S CH"), ("xc", "K S"), ("tz", "T S"), ("ieth$", "IY0 AH0 TH"), ("gent$", "JH AH0 N T"),
+    ("ngth", "NG K TH"), ("xch", "K S CH"), ("xc", "K S"), ("tz", "T S"), ("ieth$", "IY0 AH0 TH"), ("gent$", "JH AH0 N T"), ("vent$", "V EH2 N T"),
+    ("ccent", "K S EH2 N T"), ("mment", "M EH2 N T"),
+    ("ntent$", "N T EH2 N T"), ("xtent$", "K S T EH2 N T"),
+    ("ernet$", "ER0 N EH2 T"), ("forget", "F ER0 G EH1 T"),
+    ("area", "EH1 R IY0 AH0"), ("event$", "IH0 V EH1 N T"), ("events$", "IH0 V EH1 N T S"),
+    ("america", "AH0 M EH1 R AH0 K"), ("another", "AH0 N AH1 DH ER0"), ("where", "W EH1 R"),
+    ("already", "AO0 L R EH1 D IY0"), ("stead", "S T EH2 D"),
     ("alt", "AO1 L T"), ("nk", "NG K"),
     ("ire$", "AY1 ER0"), ("ired$", "AY1 ER0 D"), ("ires$", "AY1 ER0 Z"),
     ("rive$", "R AY1 V"), ("use$", "Y UW1 Z"),
     ("stle$", "S AH0 L"), ("sten$", "S AH0 N"),
     ("are$", "EH1 R"), ("arr", "EH1 R"), ("err", "EH1 R"), ("orr", "AO1 R"), ("urr", "ER1"),
+    ("oubt", "AW1 T"), ("ebt", "EH1 T"), ("eighth", "EY1 T TH"),
+    ("either", "IY1 DH ER0"), ("europ", "Y UH1 R AH0 P"),
     ("who$", "HH UW1"), ("owel", "AW1 AH0 L"), ("ninet", "N AY1 N T"),
     ("alm$", "AA1 M"), ("hour", "AW1 ER0"),
     ("exp", "IH0 K S P"), ("destr", "D IH0 S T R"),
@@ -292,7 +308,13 @@ _RULES: List[Tuple[str, str]] = [
     ("othes$", "OW1 DH Z"), ("eople", "IY1 P AH0 L"),
     ("was$", "W AA1 Z"), ("wash", "W AA1 SH"),
     ("arious", "EH1 R IY0 AH0 S"), ("eai", "IY0 EY1"),
-    ("ision", "IH1 ZH AH0 N"), ("iny$", "AY1 N IY0"), ("ycle", "AY1 K AH0 L"),
+    ("ision", "IH1 ZH AH0 N"), ("pply$", "P L AY1"), ("ply$", "P L AY1"), ("fy$", "F AY2"),
+    ("fying$", "F AY2 IH0 NG"), ("deny", "D IH0 N AY1"),
+    ("ccupy", "K Y AH0 P AY2"), ("july", "JH UW0 L AY1"),
+    ("earby", "IH1 R B AY1"), ("erfly", "ER0 F L AY2"),
+    ("die$", "D AY1"), ("lie$", "L AY1"), ("tie$", "T AY1"),
+    ("pie$", "P AY1"), ("via", "V AY1 AH0"), ("rial", "R AY1 AH0 L"),
+    ("cience", "S AY1 AH0 N S"), ("iny$", "AY1 N IY0"), ("ycle", "AY1 K AH0 L"),
     ("ilot", "AY1 L AH0 T"), ("item", "AY1 T AH0 M"),
     ("ina$", "AY1 N AH0"), ("rivate", "R AY1 V AH0 T"),
     ("rimary", "R AY1 M EH2 R IY0"), ("rivacy", "R AY1 V AH0 S IY0"),
@@ -303,12 +325,43 @@ _RULES: List[Tuple[str, str]] = [
     ("inor", "AY1 N ER0"), ("icense", "AY1 S AH0 N S"),
     ("ynam", "AY0 N AE1 M"), ("idea", "AY0 D IY1 AH0"),
     ("identi", "AY0 D EH1 N T"), ("hild", "HH AY1 L D"),
-    ("uide", "G AY1 D"), ("quite$", "K W AY1 T"),
+    ("ide$", "AY1 D"),
     ("inal$", "AY1 N AH0 L"),
     ("inus", "AY1 N AH0 S"), ("ibr", "AY1 B R"),
     ("oul", "OW1 L"), ("eather", "EH1 DH ER0"), ("irr", "IH1 R"),
     ("eau", "Y UW1"), ("inute", "IH1 N AH0 T"),
-    ("ience$", "IY0 AH0 N S"), ("noth", "N AH1 TH"),
+    ("ience$", "IY0 AH0 N S"), ("noth", "N AH1 TH"), ("pull", "P UH1 L"), ("push", "P UH1 SH"),
+    ("put$", "P UH1 T"), ("move", "M UW1 V"), ("prove", "P R UW1 V"),
+    ("love", "L AH1 V"), ("mood", "M UW1 D"), ("food", "F UW1 D"),
+    ("once", "W AH1 N S"), ("howev", "HH AW2 EH1 V"),
+    ("open", "OW1 P AH0 N"), ("econd", "EH1 K AH0 N D"),
+    ("said", "S EH1 D"), ("ecret", "IY1 K R AH0 T"),
+    ("ecent", "IY1 S AH0 N T"), ("enior", "IY1 N Y ER0"),
+    ("junior", "JH UW1 N Y ER0"), ("llion", "L Y AH0 N"),
+    ("lion$", "L AY1 AH0 N"), ("inion", "IH1 N Y AH0 N"),
+    ("atient", "EY1 SH AH0 N T"), ("ssenger", "S AH0 N JH ER0"),
+    ("mportant", "M P AO1 R T AH0 N T"), ("island", "AY1 L AH0 N D"),
+    ("into$", "IH1 N T UW2"), ("often", "AO1 F AH0 N"),
+    ("soft", "S AO1 F T"), ("heart", "HH AA1 R T"),
+    ("roup", "R UW1 P"), ("soup", "S UW1 P"),
+    ("laugh", "L AE1 F"), ("ocean", "OW1 SH AH0 N"),
+    ("oldier", "OW1 L JH ER0"), ("ousand", "AW1 Z AH0 N D"),
+    ("great", "G R EY1 T"), ("charac", "K EH1 R AH0 K"),
+    ("nsider", "N S IH1 D ER0"), ("ustoam", "AH1 S T AH0 M"),
+    ("ermine$", "ER1 M AH0 N"), ("entury", "EH1 N CH ER0 IY0"),
+    ("eremony", "EH1 R AH0 M OW2 N IY0"), ("ctua", "K CH UW0"),
+    ("iamond", "AY1 M AH0 N D"), ("usiness", "IH1 Z N AH0 S"),
+    ("usy", "IH1 Z IY0"), ("trol$", "T R OW1 L"),
+    ("sappear", "S AH0 P IH1 R"), ("broad", "B R AO1 D"),
+    ("eiling", "IY1 L IH0 NG"), ("ourage", "ER1 IH0 JH"),
+    ("effort", "EH1 F ER0 T"), ("omfort", "AH1 M F ER0 T"),
+    ("lways", "L W EY2 Z"), ("rgue$", "R G Y UW0"),
+    ("dozen", "D AH1 Z AH0 N"), ("bove$", "B AH1 V"),
+    ("cover", "K AH1 V ER0"), ("does$", "D AH1 Z"),
+    ("offee", "AO1 F IY0"), ("loth$", "L AO1 TH"),
+    ("rvice", "R V AH0 S"), ("vice$", "V AY1 S"),
+    ("vise$", "V AY1 Z"), ("coam$", "K AH1 M"),
+    ("soam$", "S AH0 M"),
     ("otor", "OW1 T ER0"), ("aise$", "EY1 Z"), ("eeze$", "IY1 Z"),
     ("ily$", "AH0 L IY0"), ("whol", "HH OW1 L"),
     ("qual", "K W AA1 L"), ("quant", "K W AA1 N T"),
@@ -320,8 +373,22 @@ _RULES: List[Tuple[str, str]] = [
     ("journ", "JH ER1 N"), ("nsw", "N S"), ("alf", "AE1 F"),
     ("uild", "IH1 L D"), ("uscle", "AH1 S AH0 L"),
     ("chine$", "SH IY1 N"), ("eign$", "AH0 N"), ("olor", "AH1 L ER0"),
-    ("ular$", "Y AH0 L ER0"), ("ercent", "ER0 S EH1 N T"),
-    ("equation", "IH0 K W EY1 ZH AH0 N"), ("equ", "IY1 K W"), ("aybe$", "EY1 B IY0"), ("azy$", "EY1 Z IY0"), ("avy$", "EY1 V IY0"),
+    ("ular$", "Y AH0 L ER0"), ("gument", "G Y AH0 M AH0 N T"),
+    ("cument", "K Y AH0 M AH0 N T"), ("nument", "N Y AH0 M AH0 N T"),
+    ("mbulance", "M B Y AH0 L AH0 N S"), ("few", "F Y UW1"),
+    ("phew", "F Y UW0"), ("user", "Y UW1 Z ER0"),
+    ("unior", "UW1 N Y ER0"), ("ecule", "AH0 K Y UW2 L"),
+    ("secute", "S AH0 K Y UW2 T"), ("abulary", "AE1 B Y AH0 L EH2 R IY0"),
+    ("ontinue", "AH0 N T IH1 N Y UW0"), ("ercent", "ER0 S EH1 N T"),
+    ("equation", "IH0 K W EY1 ZH AH0 N"), ("equ", "IY1 K W"), ("aybe$", "EY1 B IY0"), ("avor", "EY1 V ER0"), ("amous", "EY1 M AH0 S"),
+    ("atal", "EY1 T AH0 L"), ("native", "N EY1 T IH0 V"),
+    ("apable", "EY1 P AH0 B AH0 L"), ("chamber", "CH EY1 M B ER0"),
+    ("ancient", "EY1 N CH AH0 N T"), ("april", "EY1 P R AH0 L"),
+    ("data", "D EY1 T AH0"), ("amework", "EY1 M W ER2 K"),
+    ("adar", "EY1 D AA2 R"), ("adio", "EY1 D IY0 OW2"),
+    ("acred", "EY1 K R AH0 D"), ("aving$", "EY1 V IH0 NG"),
+    ("lavery", "L EY1 V ER0 IY0"), ("eague", "IY1 G"),
+    ("ague$", "EY1 G"), ("tadium", "T EY1 D IY0 AH0 M"), ("azy$", "EY1 Z IY0"), ("avy$", "EY1 V IY0"),
     ("ady$", "EY1 D IY0"), ("aby$", "EY1 B IY0"), ("abor", "EY1 B ER0"),
     ("abel", "EY1 B AH0 L"), ("acon", "EY1 K AH0 N"), ("neu", "N UW1"),
     ("ouble", "AH1 B AH0 L"), ("ower$", "AW1 ER0"), ("aigh", "EY1"),
@@ -330,12 +397,28 @@ _RULES: List[Tuple[str, str]] = [
     ("eese$", "IY1 Z"), ("urpose", "ER1 P AH0 S"),
     ("alm", "AO1 L M"), ("alw", "AO1 L W"), ("als", "AO1 L S"),
     ("alr", "AO1 L R"), ("terest", "T R AH0 S T"),
-    ("dred$", "D R AH0 D"), ("gine$", "JH AH0 N"), ("tain$", "T AH0 N"),
+    ("dred$", "D R AH0 D"), ("gine$", "JH AH0 N"), ("xcuse", "K S K Y UW1 S"), ("gain", "G EH1 N"),
+    ("ountain", "AW1 N T AH0 N"), ("ontain", "AH0 N T EY1 N"),
+    ("btain", "B T EY1 N"), ("aintain", "EY1 N T EY2 N"),
+    ("tain$", "T AH0 N"),
     ("olution", "AH0 L UW1 SH AH0 N"), ("iri", "IH1 R IH0"),
     ("eally$", "IH1 L IY0"),
     ("ager$", "IH0 JH ER0"), ("shion$", "SH AH0 N"),
     ("gion$", "JH AH0 N"), ("ion$", "Y AH0 N"),
-    ("ost$", "OW1 S T"), ("ostly$", "OW1 S T L IY0"),
+    ("most", "M OW1 S T"), ("host", "HH OW1 S T"),
+    ("post", "P OW1 S T"), ("ghost", "G OW1 S T"),
+    ("ost$", "AO1 S T"), ("osen", "OW1 Z AH0 N"),
+    ("ovember", "OW0 V EH1 M B ER0"), ("omework", "OW1 M W ER2 K"),
+    ("otebook", "OW1 T B UH2 K"), ("oetry", "OW1 AH0 T R IY0"),
+    ("oem", "OW1 AH0 M"), ("oll$", "OW1 L"), ("olls$", "OW1 L Z"),
+    ("oster", "OW1 S T ER0"), ("ozone", "OW1 Z OW2 N"),
+    ("onait$", "OW1 N EY2 T"), ("obighl", "OW1 B AH0 L"),
+    ("photo", "F OW1 T OW2"), ("okay", "OW2 K EY1"),
+    ("oven$", "AH1 V AH0 N"), ("overn", "AH1 V ER0 N"),
+    ("onion", "AH1 N Y AH0 N"), ("rom$", "R AH1 M"),
+    ("ront", "R AH1 N T"), ("onday", "AH1 N D EY2"),
+    ("ybody", "IY0 B AA2 D IY0"), ("orgot", "ER0 G AA1 T"),
+    ("rove$", "R OW1 V"), ("tove$", "T OW1 V"), ("ostly$", "OW1 S T L IY0"),
     ("oken", "OW1 K AH0 N"), ("olden", "OW1 L D AH0 N"),
     ("obal", "OW1 B AH0 L"), ("ocal", "OW1 K AH0 L"),
     ("oble", "OW1 B AH0 L"), ("otal", "OW1 T AH0 L"),
@@ -502,6 +585,13 @@ def _reduce_unstressed(phones: List[str], word: str = "") -> List[str]:
                     out[k + 1] = None
                 elif ph in _REDUCIBLE:
                     out[k] = _REDUCIBLE[ph]
+        # -ity as a SUFFIX reads AH0 T IY0 (ability, quality) — the bare
+        # "ity$" table rule keeps IH0 so monosyllabic stems ("city") stay
+        # IH; only the class-matched polysyllables get the schwa.
+        if word.endswith(("ity", "ities")) and len(vowel_idx) >= 2:
+            k2 = vowel_idx[-2]
+            if out[k2] == "IH0":
+                out[k2] = "AH0"
         return [p for p in out if p is not None]
 
     seen_stress = False
@@ -598,13 +688,23 @@ def _lts_core(word: str) -> List[str]:
     if len(word) > 6 and word.endswith("easure"):
         return _lts_core(word[:-6]) + ["EH1", "ZH", "ER0"]
     if len(word) > 4 and word.endswith("ture"):
-        return _lts_core(word[:-4]) + ["CH", "ER0"]
+        stem = word[:-4]
+        if stem[-1] in "aeiou" and len(stem) <= 3:
+            # open monosyllabic stem reads long: nature -> N EY CH ER
+            return (
+                _lts_core(stem[:-1] + _LONG_VOWEL.get(stem[-1], stem[-1]))
+                + ["CH", "ER0"]
+            )
+        return _lts_core(stem) + ["CH", "ER0"]
     if len(word) > 4 and word.endswith("sure"):
         return _lts_core(word[:-4]) + ["ZH", "ER0"]
     if len(word) > 5 and word.endswith("ure"):
         stem = word[:-3]
         glide = ["Y"] if stem[-1] in "gl" else []
         return _lts_core(stem) + glide + ["ER0"]
+    # the stress-class gate must see the ORIGINAL spelling: magic-e below
+    # rewrites "-ate" into "-ait" etc., which would hide the suffix class
+    latinate = any(pat.search(word) for pat, _ in _SUFFIX_STRESS)
     if len(word) <= 5:
         word = _MAGIC_CE.sub(lambda m: _LONG_VOWEL[m.group(1)] + "s", word)
     word = _MAGIC_E.sub(lambda m: _LONG_VOWEL[m.group(1)] + m.group(2), word)
@@ -614,11 +714,23 @@ def _lts_core(word: str) -> List[str]:
     out: List[str] = []
     i = 0
     # Words with a stress-determining Latinate suffix skip the unstressed-
-    # prefix rewrites: _reduce_unstressed places the main stress from the
-    # suffix class and decides which earlier syllables reduce (keeping the
-    # word-initial secondary stress of ap-pli-CA-tion / com-pe-TI-tion that
-    # these prefix rules would wrongly flatten).
-    latinate = any(pat.search(word) for pat, _ in _SUFFIX_STRESS)
+    # prefix rewrites below: _reduce_unstressed places the main stress from
+    # the suffix class and decides which earlier syllables reduce (keeping
+    # the word-initial secondary stress of ap-pli-CA-tion) — the gate was
+    # computed above, before the magic-e rewrites.
+    # pronoun compounds: any-/every-/some- + one/body/thing/where/time(s)
+    # (the "one" half reads W AH N only in these compounds)
+    _COMPOUND_TAILS = {
+        "one": ["W", "AH1", "N"], "body": ["B", "AA2", "D", "IY0"],
+        "thing": ["TH", "IH2", "NG"], "where": ["W", "EH2", "R"],
+        "time": ["T", "AY2", "M"], "times": ["T", "AY2", "M", "Z"],
+        "how": ["HH", "AW2"], "way": ["W", "EY2"], "what": ["W", "AH2", "T"],
+    }
+    for pre in ("any", "every", "some"):
+        if word.startswith(pre) and word[len(pre):] in _COMPOUND_TAILS:
+            return _lts_core(pre) + _COMPOUND_TAILS[word[len(pre):]]
+    if word.startswith("any"):
+        return ["EH1", "N", "IY0"] + (_lts_core(word[3:]) if word[3:] else [])
     # word-initial "isl" keeps its silent s (island, isle); mid-word "isl"
     # is an ordinary cluster (legislation)
     if word.startswith("isl"):
@@ -626,15 +738,54 @@ def _lts_core(word: str) -> List[str]:
         i = 3
     # unstressed initial a- before one consonant + vowel ("about", "again")
     # or a doubled consonant ("attack", "address"); true clusters
-    # ("after") keep AE
+    # ("after") keep AE, and so do most 3+-syllable a- nouns (animal,
+    # avenue, accident, attitude — initial stress), so the reduction only
+    # applies to disyllables
+    stem_nosilent = (
+        word[:-1]
+        if word.endswith("e") and len(word) > 2 and word[-2] not in "aeiouy"
+        else word
+    )
+    n_vowel_groups = len(re.findall(r"[aeiouy]+", stem_nosilent))
     if (
         not latinate and i == 0
         and len(word) >= 4 and word[0] == "a"
         and word[1] not in "aeiouy"
+        and n_vowel_groups == 2
         and (word[2] in "aeiou" or (word[1] == word[2] and len(word) >= 5))
     ):
         out.append("AH0")
         i = 1
+    # unstressed initial e- in disyllables: before x (except, exchange),
+    # a doubled consonant (effect), or a single consonant + vowel (elect,
+    # emerge, elite); "ev-" stays (even, evil — CMU keeps IY1 V there),
+    # exa-/exi- keep their dedicated /gz/-voicing rule, and the noun class
+    # exit/expert/extra keeps initial stress
+    elif (
+        not latinate and i == 0
+        and len(word) >= 5 and word[0] == "e"
+        and word[1] not in "aeiouy" and word[1] != "v"
+        and n_vowel_groups == 2
+        and not word.startswith(("exa", "exi"))
+        and word not in ("exit", "expert", "extra", "excess", "experts")
+        and (
+            word[1] == "x"
+            or word[1] == word[2]
+            or word[2] in "aeiouy"
+        )
+    ):
+        out.append("IH0")
+        i = 2 if word[1] == word[2] else 1
+    # unstressed initial ad- before a consonant in disyllabic verbs
+    # (admit, advance, advice); longer ad- words keep initial stress
+    elif (
+        not latinate and i == 0
+        and len(word) >= 5 and word[:2] == "ad"
+        and word[2] not in "aeiouy" and word[2] != "d"
+        and n_vowel_groups == 2
+    ):
+        out.extend(["AH0", "D"])
+        i = 2
     # unstressed be-/de-/re-/pre- prefixes before a consonant (or
     # consonant+liquid cluster) + vowel ("begin", "decide", "degree",
     # "reply", "prepare"); doubles ("better") keep full vowels
@@ -653,7 +804,14 @@ def _lts_core(word: str) -> List[str]:
         not latinate and i == 0
         and len(word) >= 7 and word[:3] in ("com", "con")
         and word[3] not in "aeiouy" and word[3] != word[2]
+        and not word.startswith(("concept", "concert", "contest", "context",
+                                 "contract", "contrast", "contact", "content",
+                                 "constant", "concrete", "combat"))
+        and not re.search(r"(ence|ent|ance|ant)s?$", word)
     ):
+        # noun-stressed con- compounds (concept, contact, contrast) and
+        # -ence/-ent nominals (conference, continent) keep initial stress;
+        # the open verb class (combine, compare, concern, connect) reduces
         # unstressed com-/con- before a consonant in longer words
         # (computer, continue, condition); shorter ones (common, comment,
         # concert) and doubles (connect is the exception) keep stress
@@ -725,6 +883,7 @@ def _lts_core(word: str) -> List[str]:
             and not word.startswith("ss", i)
             and not (i + 2 == len(word) and word[i + 1] == "e")
             and not word.startswith("sion", i)
+            and not word.startswith("sid", i)
         ):
             out.append("Z")
             i += 1
@@ -734,6 +893,7 @@ def _lts_core(word: str) -> List[str]:
         if (
             word.startswith("sc", i) and i + 2 < len(word)
             and word[i + 2] in "eiy"
+            and not word.startswith("science", i)
         ):
             out.append("S")
             i += 2
@@ -781,6 +941,17 @@ def _lts_core(word: str) -> List[str]:
         ):
             out.extend(["Y", "UH1"] if word[i + 1] == "r" else ["Y", "UW1"])
             i += 1
+            continue
+        # "ue" after a non-coronal onset keeps the glide: cube/dispute
+        # (via their magic-e rewrites "cueb"/"disputet"), rescue, value;
+        # after l/n the glide needs a preceding vowel (volume, continue)
+        # so onset clusters stay plain (blue, clue, glue)
+        if word.startswith("ue", i) and i > 0 and (
+            word[i - 1] in "bcfghkmpv"
+            or (word[i - 1] in "ln" and i >= 2 and word[i - 2] in "aeiouy")
+        ):
+            out.extend(["Y", "UW1"])
+            i += 2
             continue
         # "ur" + vowel is lax UH R (during, jury), not the ER of "turn"
         if (
@@ -859,7 +1030,7 @@ def _lts_core(word: str) -> List[str]:
         if (
             i >= 2 and i + 2 == len(word)
             and word[i] in "aoi" and word[i + 1] == "l"
-            and word[i - 1] not in "aeiou"
+            and word[i - 1] not in "aeio"
         ):
             out.extend(["AH0", "L"])
             break
@@ -875,6 +1046,7 @@ def _lts_core(word: str) -> List[str]:
         if (
             word[i] == "c" and i + 1 < len(word) and word[i + 1] in "eiy"
             and not (word.startswith("ceive", i) and i + 5 == len(word))
+            and not word.startswith(("cial", "cious", "cian", "cient"), i)
         ):
             out.append("S")
             i += 2 if i + 2 == len(word) and word[i + 1] == "e" else 1

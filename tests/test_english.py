@@ -82,7 +82,7 @@ def test_lexicon_scale_and_integrity():
     from e2e_tts_tpu.text.english import _LEXICON
 
     # dictionary-scale pronunciation: >=1,500 lemmas, every phone in-table
-    assert len(_LEXICON) >= 1500
+    assert len(_LEXICON) >= 3400
     valid = {s[1:] for s in ENGLISH_SYMBOLS if s.startswith("@")}
     for word, phones in _LEXICON.items():
         for p in _strip(phones.split()):
@@ -116,23 +116,16 @@ def test_morphology_derives_inflections():
         assert _inflected_phones(word) == want, word
 
 
-def test_lts_heldout_accuracy():
-    """Documented LTS quality number (VERDICT r2 item 3): the rules never
-    see the lexicon, so the full lexicon is a held-out set — and a hard one
-    (it includes the irregular core vocabulary).  Measured 2026-08-18 after
-    the round-4 expansion (stress-aware vowel reduction, magic-e for -le/-y,
-    suffix peels -age/-ture/-sure/-ure, voicing contexts for s, closed-class
-    th-voicing, ~80 new context rules): word-exact 70.4%, phoneme error
-    rate 10.0% over 1,668 words (was 55.3% / 17.1% in round 3)."""
+def _lts_scores(words):
     import difflib
 
     from e2e_tts_tpu.text.english import _LEXICON
 
     n = word_ok = phone_err = phone_tot = 0
-    for w, ph in _LEXICON.items():
+    for w in words:
         if not w.isalpha():
             continue
-        gold, pred = _strip(ph.split()), _strip(letter_to_sound(w))
+        gold, pred = _strip(_LEXICON[w].split()), _strip(letter_to_sound(w))
         n += 1
         word_ok += gold == pred
         sm = difflib.SequenceMatcher(a=gold, b=pred)
@@ -142,11 +135,40 @@ def test_lts_heldout_accuracy():
             if tag != "equal"
         )
         phone_tot += len(gold)
-    assert n >= 1500
-    assert word_ok / n >= 0.65, f"LTS word accuracy regressed: {word_ok / n:.3f}"
-    assert phone_err / phone_tot <= 0.12, (
-        f"LTS phoneme error rate regressed: {phone_err / phone_tot:.3f}"
+    return n, word_ok / n, phone_err / phone_tot
+
+
+def test_lts_heldout_accuracy():
+    """Documented LTS quality numbers (VERDICT r4 item 1): the rules are
+    tuned error-driven against the lexicon, so this is a regression bar,
+    not a blind held-out number — but the lexicon doubled in round 5
+    (1,672 -> 3,514 lemmas), so the FULL-set figure is measured on ~1,845
+    words the rules had never seen when round 4 closed.
+
+    Round-5 state (2026-08-19, after the suffix-class stress assigner and
+    ~12 error-driven rule batches):
+      - benchmark set (the round-4 1,672-word lexicon, the apples-to-apples
+        series: 46.4% r2 -> 55.3% r3 -> 70.4% r4): word-exact 80.8%
+      - full 3,513-word lexicon: word-exact 71.9%, phoneme error rate 9.5%
+    """
+    import os
+
+    from e2e_tts_tpu.text.english import _LEXICON
+
+    n, acc, per = _lts_scores(sorted(_LEXICON))
+    assert n >= 3400
+    assert acc >= 0.70, f"LTS word accuracy regressed: {acc:.3f}"
+    assert per <= 0.105, f"LTS phoneme error rate regressed: {per:.3f}"
+
+    bench_path = os.path.join(
+        os.path.dirname(__file__), "assets", "lts_benchmark_words.txt"
     )
+    with open(bench_path) as f:
+        bench = [w.strip() for w in f if w.strip() and w.strip() in _LEXICON]
+    n, acc, per = _lts_scores(bench)
+    assert n >= 1500
+    assert acc >= 0.78, f"benchmark-set LTS accuracy regressed: {acc:.3f}"
+    assert per <= 0.09, f"benchmark-set LTS PER regressed: {per:.3f}"
 
 
 def test_running_text_lexicon_coverage():
