@@ -810,27 +810,25 @@ class SynthesisEngine:
                         # synthesize the pieces recursively.
                         pieces = self._split_sequence(seqs[i], total_row)
                         if len(pieces) <= 1:
-                            # cannot split further (degenerate input,
-                            # e.g. one phoneme predicting >MAX_MEL_LEN
-                            # frames): truncate with a warning rather
-                            # than recurse forever
-                            import warnings
-
-                            warnings.warn(
-                                f"chunk predicts {total_row} mel "
-                                f"frames but cannot be split; truncating "
-                                f"to {MAX_MEL_LEN}"
-                            )
+                            # cannot split at phoneme boundaries (degenerate
+                            # input: ONE phoneme predicting >MAX_MEL_LEN
+                            # frames).  Split the DURATION instead (VERDICT
+                            # r4 item 9): render the same sequence k times
+                            # at duration_control d/k each — the k segments
+                            # concatenate to the full predicted length, so
+                            # no audio is ever dropped.  Recursion
+                            # terminates because d shrinks geometrically.
+                            k = max(2, -(-total_row // MAX_MEL_LEN))
                             self._emit_event(
-                                "truncation",
+                                "duration_split",
                                 predicted_frames=total_row,
-                                kept_frames=MAX_MEL_LEN,
+                                passes=k,
                                 seq_len=int(len(seqs[i])),
                             )
-                            n = int(re_lens_np[row]) * self.hop_length
-                            results[i] = self._decode_transfer(
-                                re_audio_np[row, :n]
+                            parts = self._synthesize_sequences(
+                                [seqs[i]] * k, int(spk_of[i]), p, e, d / k
                             )
+                            results[i] = np.concatenate(parts)
                         else:
                             self._emit_event(
                                 "overflow_resplit",

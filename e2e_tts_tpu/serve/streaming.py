@@ -110,9 +110,11 @@ def stream_synthesize(
         chunk_frames, halo_frames,
     )
     B = engine.batch_size
-    pending = [np.asarray(s, np.int32) for s in seqs]
+    # pending items carry their own duration_control: a degenerate
+    # single-phoneme chunk is re-queued k times at d/k (duration split)
+    pending = [(np.asarray(s, np.int32), d) for s in seqs]
     while pending:
-        seq = pending.pop(0)
+        seq, d_i = pending.pop(0)
         L = _bucket_for(len(seq), TEXT_BUCKETS)
         texts = np.zeros((B, L), np.int32)
         lens = np.ones((B,), np.int32)
@@ -121,20 +123,20 @@ def stream_synthesize(
         spk = np.full((B,), speaker, np.int32)
 
         x, durations = engine._stage1(L)(
-            engine.acoustic_params, spk, texts, lens, p, e, d
+            engine.acoustic_params, spk, texts, lens, p, e, d_i
         )
         total = int(np.asarray(durations)[0].sum())
         if total > MAX_MEL_LEN:
             pieces = engine._split_sequence(seq, total)
             if len(pieces) > 1:
-                pending = pieces + pending
+                pending = [(piece, d_i) for piece in pieces] + pending
                 continue
-            import warnings
-
-            warnings.warn(
-                f"chunk predicts {total} mel frames but cannot be split; "
-                f"truncating to {MAX_MEL_LEN}"
-            )
+            # degenerate single-phoneme chunk: split the DURATION across
+            # k slower passes instead of truncating (engine.py does the
+            # same on the fused path)
+            k = max(2, -(-total // MAX_MEL_LEN))
+            pending = [(seq, d_i / k)] * k + pending
+            continue
         T = _mel_bucket(min(total, MAX_MEL_LEN))
 
         # mel-only program (acoustic stage 2 without the fused vocoder);

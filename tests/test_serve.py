@@ -143,6 +143,26 @@ def test_overflow_resplits_instead_of_truncating(engine, monkeypatch):
     assert len(audio) > 128 * engine.hop_length
 
 
+def test_truncation_unreachable_even_for_degenerate_chunks(engine, monkeypatch):
+    """VERDICT r4 item 9: no input reachable from synthesize() may truncate.
+    Even a chunk that cannot be split at phoneme boundaries (forced here)
+    duration-splits into k passes and returns the full predicted length."""
+    import warnings
+
+    from e2e_tts_tpu.serve import engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "MAX_MEL_LEN", 128)
+    monkeypatch.setattr(
+        type(engine), "_split_sequence", lambda self, seq, total: [seq]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any truncation warning -> failure
+        audio = engine.synthesize(
+            "xin chào các bạn", duration_control=30.0, silence_distance=0
+        )
+    assert len(audio) > 128 * engine.hop_length
+
+
 def test_quality_events_surface_in_serve_log(engine, monkeypatch, tmp_path):
     """Truncation and overflow re-splits must land in the Synthesizer's
     structured request log (not just stderr warnings) so a deploy can see
@@ -161,20 +181,24 @@ def test_quality_events_surface_in_serve_log(engine, monkeypatch, tmp_path):
     # overflow path: the chunk re-splits and synthesis succeeds
     synth.synthesis(text, str(tmp_path / "a.wav"), duration_control=20.0)
 
-    # degenerate path: force un-splittable chunks -> truncation event
+    # degenerate path: force un-splittable chunks -> the duration is split
+    # across k render passes instead of truncating (VERDICT r4 item 9)
     monkeypatch.setattr(
         type(engine), "_split_sequence", lambda self, seq, total: [seq]
     )
-    with pytest.warns(UserWarning, match="truncating"):
-        synth.synthesis(text, str(tmp_path / "b.wav"), duration_control=20.0)
+    synth.synthesis(text, str(tmp_path / "b.wav"), duration_control=20.0)
 
     recs = [json.loads(line) for line in open(log)]
     assert len(recs) == 2
     assert all(r["audio_s"] > 0 and r["wall_s"] > 0 for r in recs)
     assert any(e["event"] == "overflow_resplit" for e in recs[0]["events"])
-    assert any(e["event"] == "truncation" for e in recs[1]["events"])
+    assert any(e["event"] == "duration_split" for e in recs[1]["events"])
+    # the duration-split output is NOT capped at the mel bucket: the k
+    # passes concatenate to (about) the full predicted length
+    b = np.fromfile(tmp_path / "b.wav", dtype=np.int16)
+    assert len(b) > 128 * engine.hop_length
     # the engine keeps its own bounded event buffer too
-    assert any(e["event"] == "truncation" for e in engine.events)
+    assert any(e["event"] == "duration_split" for e in engine.events)
     # the request-scoped subscription is removed after each call
     assert engine.on_event is None
 
