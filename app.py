@@ -61,17 +61,35 @@ def build_interface(synthesizer: Synthesizer):
     )
 
 
-def main():
+def parse_args(args):
+    """(remaining_args, bundle, vc_prosody_weight) from a CLI arg list.
+
+    ``--vc-prosody-weight W`` turns on voice-conversion prosody transfer
+    (voice_conversion.py: the TTS output's intonation contour joins the
+    kNN matching features at weight W)."""
     import os
 
-    args = sys.argv[1:]
+    vc_prosody_weight = 0.0
+    rest = []
+    it = iter(args)
+    for a in it:
+        if a == "--vc-prosody-weight":
+            vc_prosody_weight = float(next(it, "0"))
+        elif a.startswith("--vc-prosody-weight="):
+            vc_prosody_weight = float(a.split("=", 1)[1])
+        else:
+            rest.append(a)
     bundle = None
-    if args and os.path.isdir(args[0]):
-        bundle = args.pop(0)
-    elif args and not os.path.exists(args[0]):
-        # first arg is text, not a bundle dir: use auto-discovered voices
-        pass
-    synthesizer = Synthesizer(vie_bundle=bundle)
+    if rest and os.path.isdir(rest[0]):
+        bundle = rest.pop(0)
+    return rest, bundle, vc_prosody_weight
+
+
+def main():
+    args, bundle, vc_prosody_weight = parse_args(sys.argv[1:])
+    synthesizer = Synthesizer(
+        vie_bundle=bundle, vc_prosody_weight=vc_prosody_weight
+    )
     try:
         import gradio  # noqa: F401
     except ImportError:

@@ -210,7 +210,10 @@ class KnnVoiceConverter:
         )
 
     def _features(
-        self, mel: np.ndarray, prosody: Optional[np.ndarray] = None
+        self,
+        mel: np.ndarray,
+        prosody: Optional[np.ndarray] = None,
+        prosody_norm: Optional[float] = None,
     ) -> np.ndarray:
         """Matching features for one utterance's mel (T, n_mels).
 
@@ -219,7 +222,14 @@ class KnnVoiceConverter:
         so the metric sees the contour SHAPE over +-context frames —
         scaled so ``prosody_weight`` is feature-mode independent (ppg
         frames are unit-norm on the Bhattacharyya sphere, cmvn frames
-        have ~sqrt(D) norm from D unit-variance dims)."""
+        have ~sqrt(D) norm from D unit-variance dims).
+
+        ``prosody_norm``: the RMS frame norm the prosody block is divided
+        by.  ``convert_mel`` passes the norm measured over BOTH tracks so
+        the effective weight is utterance-independent (a mostly-unvoiced
+        track would otherwise dilute the block — unvoiced frames are
+        [0, 0]) while src and tgt still share one metric.  Defaults to
+        sqrt(2), the fully-voiced ideal."""
         if self.feature_mode == "ppg":
             # sqrt maps the probability simplex onto the unit sphere, so the
             # kernel's cosine similarity becomes the Bhattacharyya affinity
@@ -230,11 +240,22 @@ class KnnVoiceConverter:
             base = (mel - mu) / sd
             frame_norm = float(np.sqrt(mel.shape[1]))
         if prosody is not None and self.prosody_weight > 0.0:
-            scale = self.prosody_weight * frame_norm / np.sqrt(2.0)
+            norm = prosody_norm if prosody_norm else float(np.sqrt(2.0))
+            scale = self.prosody_weight * frame_norm / norm
             base = np.concatenate(
                 [base, scale * prosody.astype(base.dtype)], axis=1
             )
         return self._stack_context(base)
+
+    @staticmethod
+    def _prosody_rms_norm(*tracks: np.ndarray) -> float:
+        """RMS per-frame norm over all frames of all given (T, 2) tracks;
+        sqrt(2) (the fully-voiced ideal) when every frame is silent."""
+        sq = np.concatenate(
+            [np.sum(np.square(t.astype(np.float64)), axis=1) for t in tracks]
+        )
+        rms = float(np.sqrt(sq.mean())) if sq.size else 0.0
+        return rms if rms > 1e-6 else float(np.sqrt(2.0))
 
     def prosody_track(
         self, audio: np.ndarray, mel_len: int, sample_rate: int,
@@ -279,8 +300,29 @@ class KnnVoiceConverter:
             raise ValueError(
                 "src_prosody and tgt_prosody must be given together"
             )
-        src_feat = self._features(src_mel, src_prosody)
-        tgt_feat = self._features(tgt_mel, tgt_prosody)
+        if src_prosody is not None and self.prosody_weight <= 0.0:
+            raise ValueError(
+                "prosody tracks were supplied but prosody_weight is 0 — "
+                "construct KnnVoiceConverter(prosody_weight=...) > 0 to "
+                "enable prosody transfer"
+            )
+        if self.prosody_weight > 0.0 and src_prosody is None:
+            import warnings
+
+            warnings.warn(
+                "prosody_weight > 0 but convert_mel received no prosody "
+                "tracks; running plain content matching (pass "
+                "prosody_track outputs, or call convert() which extracts "
+                "them)",
+                stacklevel=2,
+            )
+        pn = (
+            self._prosody_rms_norm(src_prosody, tgt_prosody)
+            if src_prosody is not None
+            else None
+        )
+        src_feat = self._features(src_mel, src_prosody, prosody_norm=pn)
+        tgt_feat = self._features(tgt_mel, tgt_prosody, prosody_norm=pn)
         Ts, Tt = len(src_feat), len(tgt_feat)
         Tsb, Ttb = _bucket_up(Ts), _bucket_up(Tt)
         sf = np.zeros((Tsb, src_feat.shape[1]), np.float32)
