@@ -244,6 +244,258 @@ def ac_f0(
     return f0
 
 
+def _event_times(sig: np.ndarray) -> np.ndarray | None:
+    """Negative-to-positive zero-crossing times (fractional samples) of
+    ``sig``, linearly interpolated.  None when fewer than two events."""
+    s0, s1 = sig[:-1], sig[1:]
+    idx = np.nonzero((s0 < 0) & (s1 >= 0))[0]
+    if len(idx) < 2:
+        return None
+    return idx + s0[idx] / (s0[idx] - s1[idx])
+
+
+def _interval_track(
+    events: np.ndarray | None, frame_t: np.ndarray, sample_rate: int
+) -> np.ndarray | None:
+    """Instantaneous f0 from consecutive event intervals, resampled at the
+    frame positions ``frame_t`` (samples)."""
+    if events is None:
+        return None
+    intervals = np.diff(events)
+    centers = 0.5 * (events[:-1] + events[1:])
+    return np.interp(frame_t, centers, sample_rate / intervals)
+
+
+def dio_f0(
+    audio: np.ndarray,
+    sample_rate: int,
+    hop_length: int,
+    fmin: float = 71.0,
+    fmax: float = 800.0,
+    allowed_range: float = 0.1,
+    channels_in_octave: float = 2.0,
+) -> np.ndarray:
+    """DIO-style coarse f0 (Morise 2009): per-band low-pass filtering, four
+    interval-event estimators (rising/falling zero crossings, peaks, dips),
+    candidate = their mean with relative deviation as the reliability score;
+    the best band wins per frame; frames whose deviation exceeds
+    ``allowed_range`` are unvoiced.  Native equivalent of the reference's
+    ``pyworld.dio`` call (reference src/tools/utils.py:93-117) — same method
+    family, NOT bit-compatible (exact parity still requires pyworld).
+
+    Returns f0 per hop frame, 0 = unvoiced.
+    """
+    x = np.asarray(audio, np.float64)
+    if len(x) < 4:
+        return np.zeros(len(x) // hop_length + 1)
+    x = x - x.mean()
+    n = len(x)
+    n_frames = n // hop_length + 1
+    frame_t = np.arange(n_frames, dtype=np.float64) * hop_length
+
+    # half-octave band boundaries covering (fmin, fmax]
+    n_bands = int(np.ceil(np.log2(fmax / fmin) * channels_in_octave)) + 1
+    boundaries = fmin * 2.0 ** (np.arange(1, n_bands + 1) / channels_in_octave)
+
+    nfft = 1 << int(np.ceil(np.log2(n + 1)))
+    spec = np.fft.rfft(x, nfft)
+    freqs = np.fft.rfftfreq(nfft, 1.0 / sample_rate)
+    # high-pass below the pitch floor: DC drift and sub-f0 rumble otherwise
+    # pollute the low bands' zero crossings (vocoder output carries both)
+    hp = (freqs >= 0.75 * fmin).astype(np.float64)
+    rise = (freqs > 0.5 * fmin) & (freqs < 0.75 * fmin)
+    hp[rise] = 0.5 * (
+        1.0 - np.cos(np.pi * (freqs[rise] - 0.5 * fmin) / (0.25 * fmin))
+    )
+    spec = spec * hp
+
+    full_rms = np.sqrt(np.mean(x**2)) + 1e-300
+    frame_idx = np.minimum(frame_t.astype(np.int64), n - 1)
+    cands, devs, rmss = [], [], []
+    for fc in boundaries:
+        # cosine-rolloff low-pass at the band boundary: when true f0 is in
+        # this band the filtered signal is near-sinusoidal and all four
+        # event estimators agree
+        H = (freqs <= fc).astype(np.float64)
+        roll = (freqs > fc) & (freqs < 1.5 * fc)
+        H[roll] = 0.5 * (1.0 + np.cos(np.pi * (freqs[roll] - fc) / (0.5 * fc)))
+        y = np.fft.irfft(spec * H, nfft)[:n]
+        dy = np.diff(y, append=y[-1])
+
+        tracks = [
+            _interval_track(_event_times(y), frame_t, sample_rate),
+            _interval_track(_event_times(-y), frame_t, sample_rate),
+            _interval_track(_event_times(dy), frame_t, sample_rate),   # dips
+            _interval_track(_event_times(-dy), frame_t, sample_rate),  # peaks
+        ]
+        if any(t is None for t in tracks):
+            continue
+        stack = np.stack(tracks)  # (4, n_frames)
+        cand = stack.mean(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dev = np.sqrt(((stack - cand) ** 2).mean(axis=0)) / np.maximum(
+                cand, 1e-12
+            )
+        # a band may claim any candidate at or below (just above) its
+        # cutoff — components above the cutoff were filtered out
+        bad = (cand < fmin) | (cand > min(fmax, 1.1 * fc))
+        dev = np.where(bad, np.inf, dev)
+        cands.append(cand)
+        devs.append(dev)
+        # frame-local RMS of the filtered signal (±23 ms) relative to the
+        # whole signal: distinguishes a real weak fundamental from the
+        # event-detector junk that band noise produces
+        cs = np.concatenate([[0.0], np.cumsum(y**2)])
+        lo = np.maximum(frame_idx - 512, 0)
+        hi = np.minimum(frame_idx + 512, n)
+        rmss.append(
+            np.sqrt((cs[hi] - cs[lo]) / np.maximum(hi - lo, 1)) / full_rms
+        )
+
+    if not cands:
+        return np.zeros(n_frames)
+    cands = np.stack(cands)  # (n_bands, n_frames), frequency-ascending bands
+    devs = np.stack(devs)
+    rmss = np.stack(rmss)
+
+    # Primary selection: minimum deviation across bands.  Then harmonic
+    # de-locking: when the fundamental is weak (common in vocoder output) a
+    # strong harmonic can win the deviation race — if another reliable
+    # candidate sits at an integer subharmonic (1/2 .. 1/10) of the winner,
+    # the subharmonic is the true f0 (signals have no spurious subharmonics).
+    cols = np.arange(cands.shape[1])
+    pick = devs.argmin(axis=0)
+    best_f0 = cands[pick, cols]
+    best_dev = devs[pick, cols]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = best_f0[None, :] / np.maximum(cands, 1e-12)
+    k = np.rint(ratio)
+    is_sub = (
+        (devs < allowed_range)
+        & (rmss > 0.005)
+        & (k >= 2)
+        & (k <= 10)
+        & (np.abs(ratio - k) < 0.05 * k)
+    )
+    has_sub = is_sub.any(axis=0)
+    sub_pick = np.where(is_sub, cands, np.inf).argmin(axis=0)
+    best_f0 = np.where(has_sub, cands[sub_pick, cols], best_f0)
+    best_dev = np.where(has_sub, devs[sub_pick, cols], best_dev)
+
+    # Contour-guided second pass (WORLD FixF0Contour spirit): frames that
+    # de-locked establish the utterance's fundamental register; remaining
+    # frames stuck at ~k× that register adopt their own candidate nearest
+    # the register even when its deviation alone was too weak — the strong
+    # harmonic attests periodicity, the subharmonic candidate pins the
+    # period.
+    if has_sub.any() and not has_sub.all():
+        m = np.median(best_f0[has_sub & (best_dev < allowed_range)])
+        if m > 0:
+            kk = np.rint(best_f0 / m)
+            locked = (
+                ~has_sub
+                & (best_dev < allowed_range)
+                & (kk >= 2)
+                & (np.abs(best_f0 / m - kk) < 0.1 * kk)
+            )
+            near = np.abs(cands / m - 1.0) < 0.15
+            cand_ok = near & (devs < 3.0 * allowed_range) & (rmss > 0.005)
+            rescue = locked & cand_ok.any(axis=0)
+            res_pick = np.where(cand_ok, devs, np.inf).argmin(axis=0)
+            best_f0 = np.where(rescue, cands[res_pick, cols], best_f0)
+            # voicing is attested by the harmonic's own reliability
+            best_dev = np.where(rescue, np.minimum(best_dev, devs[res_pick, cols]), best_dev)
+
+    f0 = np.where(best_dev < allowed_range, best_f0, 0.0)
+
+    # WORLD's FixF0Contour step 2: a real pitch track is smooth at the
+    # frame rate — zero frames that jump more than allowed_range relative
+    # to their predecessor (kills the quasi-regular crossings that
+    # low-passed noise produces)
+    prev = f0[:-1]
+    cur = f0[1:]
+    jump = (prev > 0) & (cur > 0) & (
+        np.abs(cur - prev) / np.maximum(cur, 1e-12) > allowed_range
+    )
+    f0[1:][jump] = 0.0
+
+    # drop voiced runs shorter than ~45 ms (WORLD's voice_range_minimum):
+    # isolated short voicings are event-detector glitches
+    min_run = max(3, int(0.045 * sample_rate / hop_length))
+    voiced = f0 > 0
+    edges = np.flatnonzero(np.diff(np.concatenate([[0], voiced, [0]])))
+    for start, stop in zip(edges[::2], edges[1::2]):
+        if stop - start < min_run:
+            f0[start:stop] = 0.0
+    return f0
+
+
+def stonemask(
+    audio: np.ndarray,
+    f0: np.ndarray,
+    sample_rate: int,
+    hop_length: int,
+    n_harmonics: int = 6,
+) -> np.ndarray:
+    """StoneMask f0 refinement (Morise 2015): for each voiced frame, the
+    instantaneous frequency at harmonic spectrum bins — via Flanagan's
+    derivative-window identity — is amplitude-weighted and averaged down to
+    the fundamental.  Applied twice, as in WORLD.  Native equivalent of the
+    reference's ``pyworld.stonemask`` (reference src/tools/utils.py:93-117).
+    """
+    x = np.asarray(audio, np.float64)
+    out = np.asarray(f0, np.float64).copy()
+
+    def refine(f: float, center: float) -> float:
+        half = int(1.5 * sample_rate / f) + 1
+        rel = np.arange(-half, half + 1)
+        idx = rel + int(round(center))
+        seg = np.where(
+            (idx >= 0) & (idx < len(x)), x[np.clip(idx, 0, len(x) - 1)], 0.0
+        )
+        t = rel / sample_rate
+        # Blackman window spanning three fundamental periods
+        w = (
+            0.42
+            + 0.5 * np.cos(np.pi * t * f / 1.5)
+            + 0.08 * np.cos(2.0 * np.pi * t * f / 1.5)
+        )
+        # WORLD's diff window: NEGATED central difference per sample
+        dw = np.empty_like(w)
+        dw[1:-1] = -(w[2:] - w[:-2]) / 2.0
+        dw[0] = -w[1] / 2.0
+        dw[-1] = w[-2] / 2.0
+        m = 1 << int(np.ceil(np.log2(len(seg) + 1)))
+        S = np.fft.rfft(seg * w, m)
+        dS = np.fft.rfft(seg * dw, m)
+        power = np.abs(S) ** 2
+        bin_hz = np.fft.rfftfreq(m, 1.0 / sample_rate)
+        # Flanagan: IF(k) = bin freq + (Re S·Im dS − Im S·Re dS)·fs / (2π |S|²)
+        inst = bin_hz + (S.real * dS.imag - S.imag * dS.real) * sample_rate / (
+            2.0 * np.pi * np.maximum(power, 1e-300)
+        )
+        num = den = 0.0
+        kmax = min(n_harmonics, int(0.5 * sample_rate / f))
+        for k in range(1, max(kmax, 1) + 1):
+            b = int(round(k * f * m / sample_rate))
+            if b >= len(S):
+                break
+            amp = np.sqrt(power[b])
+            # WORLD FixF0 weighting: f0 = Σ amp·IF_k / Σ amp·k
+            num += amp * inst[b]
+            den += amp * k
+        return num / den if den > 0 else 0.0
+
+    for i in np.flatnonzero(out > 0):
+        f = refine(float(out[i]), i * hop_length)
+        if f > 0:
+            f = refine(f, i * hop_length)
+        # reject refinements that ran away from the coarse estimate
+        if f > 0 and abs(f / out[i] - 1.0) < 0.2:
+            out[i] = f
+    return out
+
+
 def _praat_f0(
     wav_data: np.ndarray, mel_len: int, sample_rate: int, hop_length: int
 ):
@@ -332,14 +584,19 @@ def extract_pitch(
     """Pitch stream with linear interpolation over unvoiced gaps
     (reference contract utils.py:93-117).
 
-    backend: "auto" uses pyworld dio+stonemask when importable, else YIN;
-    "pyworld" requires pyworld; "yin" forces the built-in estimator.
+    backend: "auto" uses pyworld dio+stonemask when importable, else the
+    native DIO+StoneMask (same method family, library-free); "pyworld"
+    requires pyworld; "dio" forces the native DIO+StoneMask; "yin" forces
+    the YIN estimator.
     """
     pitch = None
     if backend in ("auto", "pyworld"):
         pitch = _pyworld_pitch(wav_data, sample_rate, hop_length)
         if pitch is None and backend == "pyworld":
             raise ImportError("backend='pyworld' requires pyworld")
+    if pitch is None and backend in ("auto", "dio"):
+        pitch = dio_f0(wav_data, sample_rate, hop_length, fmin=71.0, fmax=800.0)
+        pitch = stonemask(wav_data, pitch, sample_rate, hop_length)
     if pitch is None:
         pitch = yin_f0(wav_data, sample_rate, hop_length, fmin=71.0, fmax=800.0)
     nonzero = np.nonzero(pitch)[0]
