@@ -46,14 +46,27 @@ def lsh_attention(
     n_hashes: int = 4,
     bucket_size: int = 64,
     causal: bool = True,
+    rotations: jnp.ndarray | None = None,
+    attend_across_buckets: bool | None = None,
 ) -> jnp.ndarray:
+    """``rotations`` (D, n_hashes, n_buckets//2) overrides the rng-sampled
+    hash rotations — used by the seeded cross-implementation parity test
+    against the reference torch LSH (blocks/reformer.py:258), whose hashing
+    is otherwise runtime-random and unconvertible.
+
+    ``attend_across_buckets``: None (default) keeps this implementation's
+    soft cross-bucket penalty; True/False reproduce the reference's binary
+    semantics (no penalty / hard mask, blocks/reformer.py:385-390)."""
     B, T, D = qk.shape
     n_buckets = max(T // bucket_size, 2)
     if n_buckets % 2:
         n_buckets += 1
 
     # --- hash: random rotations, argmax over [R, -R] ---
-    rot = jax.random.normal(rng, (D, n_hashes, n_buckets // 2), qk.dtype)
+    if rotations is None:
+        rot = jax.random.normal(rng, (D, n_hashes, n_buckets // 2), qk.dtype)
+    else:
+        rot = rotations.astype(qk.dtype)
     rotated = jnp.einsum("btd,dhr->bhtr", qk, rot)
     rotated = jnp.concatenate([rotated, -rotated], axis=-1)
     buckets = jnp.argmax(rotated, axis=-1)  # (B, n_hashes, T)
@@ -114,7 +127,10 @@ def lsh_attention(
     # masks: key validity, same-bucket, causal, self-attention penalty
     dots = jnp.where(kvalid[:, :, :, None, :], dots, NEG_INF)
     same_bucket = cbucket[..., :, None] == kbucket[..., None, :]
-    dots = jnp.where(same_bucket, dots, dots + SELF_ATTN_PENALTY / 2)
+    if attend_across_buckets is None:
+        dots = jnp.where(same_bucket, dots, dots + SELF_ATTN_PENALTY / 2)
+    elif not attend_across_buckets:
+        dots = jnp.where(same_bucket, dots, NEG_INF)
     if causal:
         causal_ok = cpos[..., :, None] >= kpos[..., None, :]
         dots = jnp.where(causal_ok, dots, NEG_INF)

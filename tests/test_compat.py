@@ -598,3 +598,74 @@ def test_hifigan_parity_with_converted_weights(ref_modules):
     assert j_audio.shape == t_audio.shape
     mae = np.abs(j_audio - t_audio).mean()
     assert mae < 1e-5, f"waveform MAE {mae}"
+
+
+@requires_reference
+def test_reformer_lsh_seeded_rotation_parity(ref_modules):
+    """VERDICT r4 ask #8: the reformer was the only block family without a
+    cross-implementation numeric check (runtime-random LSH rotations make
+    weight conversion meaningless).  Injecting IDENTICAL seeded rotations
+    into the reference torch LSHAttention (blocks/reformer.py:258) and
+    nn/reformer.lsh_attention closes that: same rotations -> same buckets
+    -> same sort -> same chunked attention -> same output.
+
+    Config notes: n_hashes=1 because the reference flattens all rounds into
+    one sorted sequence whose look-one-back crosses round boundaries, while
+    this implementation keeps a round axis and wraps within the round — a
+    documented structural deviation (nn/reformer.py module docstring) that
+    only shows at multi-round boundaries.  attend_across_buckets=True
+    matches the reference default (its binary semantics are exposed on
+    lsh_attention for exactly this test)."""
+    import types as _types
+
+    if "product_key_memory" not in sys.modules:
+        pkm_mod = _types.ModuleType("product_key_memory")
+        pkm_mod.PKM = object
+        sys.modules["product_key_memory"] = pkm_mod
+    from unsupervised_fastspeech2.blocks.reformer import LSHAttention
+
+    import jax
+    import jax.numpy as jnp
+
+    from e2e_tts_tpu.nn.reformer import lsh_attention
+
+    B, T, D = 2, 256, 32
+    bucket_size, n_hashes = 32, 1
+    n_buckets = T // bucket_size
+
+    rng = np.random.RandomState(0)
+    qk = rng.randn(B, T, D).astype(np.float32)
+    v = rng.randn(B, T, D).astype(np.float32)
+    rot = rng.randn(D, n_hashes, n_buckets // 2).astype(np.float32)
+
+    ref = LSHAttention(
+        bucket_size=bucket_size, n_hashes=n_hashes, causal=True,
+        attend_across_buckets=True, allow_duplicate_attention=True,
+    )
+    ref.eval()
+
+    orig_randn = torch.randn
+
+    def seeded_randn(shape, *args, **kwargs):
+        assert tuple(shape) == (1, D, n_hashes, n_buckets // 2), shape
+        return torch.from_numpy(rot)[None]
+
+    torch.randn = seeded_randn
+    try:
+        with torch.no_grad():
+            ref_out, _, ref_buckets = ref(
+                torch.from_numpy(qk), torch.from_numpy(v)
+            )
+    finally:
+        torch.randn = orig_randn
+
+    ours = lsh_attention(
+        jnp.asarray(qk), jnp.asarray(v),
+        jnp.ones((B, T), bool), jax.random.PRNGKey(0),
+        n_hashes=n_hashes, bucket_size=bucket_size, causal=True,
+        rotations=jnp.asarray(rot), attend_across_buckets=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_out.numpy(), atol=2e-5, rtol=1e-4
+    )

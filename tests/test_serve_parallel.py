@@ -201,3 +201,40 @@ def test_aged_request_is_promoted():
     assert not srv._lanes
     with pytest.raises(RuntimeError):
         srv.submit("9", silence_distance=0.0)
+
+
+def test_queue_amortizes_dispatches_at_n8():
+    """VERDICT r4 ask #5 (deterministic half): at N>=4 concurrent clients
+    the queue must BEAT sequential dispatch, measured by device dispatches
+    (wall-clock comparisons are flaky on shared CPU; dispatch count is the
+    mechanism by which the queue wins).  Sequential dispatch of 8 requests
+    = 8 engine calls; the queue packs them into batch_size-4 groups, so at
+    most ceil(8/4) + 1 straggler cycle.  Throughput/latency numbers live in
+    tools/bench_queue.py -> BASELINE.md."""
+    eng = _FakeEngine()
+    n = 8
+    with BatchingServer(eng, max_wait_ms=120.0) as srv:
+        barrier = threading.Barrier(n)
+        futures = [None] * n
+
+        def go(i):
+            barrier.wait()
+            futures[i] = srv.submit(str(i))
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        outs = [f.result(timeout=60) for f in futures]
+        cycles = srv.n_cycles
+
+    for i, out in enumerate(outs):
+        assert (out == i).all()
+    # strictly beats the 8 dispatches sequential execution would need
+    # (the engine splits each collected group into fixed-shape batches
+    # internally, so the cycle count is the host-side dispatch metric)
+    assert cycles < n, cycles
+    # total work conserved: each request dispatched exactly once
+    dispatched = sorted(tag for d in eng.dispatches for tag in d)
+    assert dispatched == list(range(n))
