@@ -101,3 +101,46 @@ def test_tts_bundle_scores_above_noise():
     ).astype(np.float32) / 32768.0
     noise = np.random.RandomState(0).randn(len(audio)).astype(np.float32) * 0.1
     assert scorer(audio, 22050) > scorer(noise, 22050)
+
+
+def test_anchor_set_scored_by_current_proxy():
+    """The frozen anchor-clip set (assets/mos/anchors/, VERDICT r4 ask #3)
+    must carry a score table for the CURRENTLY shipped proxy weights: the
+    latest anchor_versions entry in meta.json has to match a fresh scoring
+    run within rounding, and scores must fall monotonically with anchor
+    severity per language.  This is what keeps MOS numbers comparable
+    across proxy retrains — forgetting tools/score_anchors.py after a
+    retrain fails here."""
+    import json
+
+    anchor_dir = os.path.join(REPO, "assets", "mos", "anchors")
+    meta_path = os.path.join(REPO, "assets", "mos", "meta.json")
+    if not os.path.isdir(anchor_dir) or not os.path.exists(MOS_ASSET):
+        pytest.skip("no anchors / trained proxy checked in")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta.get("anchor_versions"), "run tools/score_anchors.py"
+    recorded = meta["anchor_versions"][-1]["scores"]
+
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from score_anchors import score_anchor_set
+
+    fresh = score_anchor_set()
+    assert set(fresh) == set(recorded)
+    for name, score in fresh.items():
+        assert abs(score - recorded[name]) < 0.02, (name, score, recorded[name])
+
+    # per language: clean anchors outscore every degraded severity, and the
+    # heaviest degradation scores lowest
+    langs = sorted({k.rsplit("_", 1)[0] for k in fresh})
+    for lang in langs:
+        sevs = sorted(
+            (float(k.rsplit("_", 1)[1]), v)
+            for k, v in fresh.items()
+            if k.rsplit("_", 1)[0] == lang
+        )
+        scores = [v for _, v in sevs]
+        assert scores[0] == max(scores), (lang, sevs)
+        assert scores[-1] == min(scores), (lang, sevs)
